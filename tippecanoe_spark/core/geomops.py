@@ -1,0 +1,552 @@
+"""Geometry kernels over "drawvec" arrays.
+
+A geometry is represented as three parallel numpy arrays (op, x, y):
+
+- ``op``: uint8, one of OP_MOVETO(1), OP_LINETO(2), OP_CLOSEPATH(7)
+  (matching the MVT operation codes, /root/reference/geometry.hpp:8-16)
+- ``x``, ``y``: int64 world/tile coordinates.
+
+These are pure-numpy/python re-implementations of the reference kernels
+(each function cites its source).  They run inside Arrow-batched pandas
+UDFs on the executors; none of them touch Spark directly.
+
+Per-feature geometries are small (<= a few thousand points), so scalar
+python loops are acceptable where the reference algorithm is inherently
+sequential (Douglas-Peucker stack, ring scans); hot paths (clips,
+quantization, dedup) are vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+OP_MOVETO = 1
+OP_LINETO = 2
+OP_CLOSEPATH = 7
+
+VT_POINT = 1
+VT_LINE = 2
+VT_POLYGON = 3
+
+
+def _rings(op: np.ndarray):
+    """Yield (start, end) of each moveto-led run of linetos (ring/part).
+
+    end is exclusive; op[end] (if present) is the next non-LINETO.
+    """
+    n = len(op)
+    i = 0
+    while i < n:
+        if op[i] == OP_MOVETO:
+            j = i + 1
+            while j < n and op[j] == OP_LINETO:
+                j += 1
+            yield i, j
+            i = j
+        else:
+            i += 1
+
+
+def get_area(x: np.ndarray, y: np.ndarray, i: int, j: int) -> float:
+    """Shoelace area of ring [i, j) — geometry.cpp:162-171.
+
+    The reference accumulates in long double; float64 here.  The ring is
+    treated as cyclic (k+1 wraps to i).
+    """
+    if j - i < 2:
+        return 0.0
+    xs = x[i:j].astype(np.float64)
+    ys = y[i:j].astype(np.float64)
+    xn = np.roll(xs, -1)
+    yn = np.roll(ys, -1)
+    return float((xs * yn - ys * xn).sum() / 2.0)
+
+
+def get_mp_area(op, x, y) -> float:
+    """Sum of ring areas (geometry.cpp:173-191)."""
+    return float(sum(get_area(x, y, i, j) for i, j in _rings(op)))
+
+
+def remove_noop(op, x, y, t: int, shift: int = 0):
+    """Drop zero-length linetos / dangling movetos — geometry.cpp:95-160."""
+    n = len(op)
+    if n == 0:
+        return op, x, y
+    # pass 1: remove empty linetos
+    keep = np.ones(n, dtype=bool)
+    px = py = 0
+    have = False
+    for i in range(n):
+        o = op[i]
+        if o == OP_LINETO and have and (x[i] >> shift) == px and (y[i] >> shift) == py:
+            keep[i] = False
+            continue
+        if o != OP_CLOSEPATH:
+            px, py = x[i] >> shift, y[i] >> shift
+            have = True
+    op, x, y = op[keep], x[keep], y[keep]
+
+    # pass 2: remove unused movetos
+    if t != VT_POINT:
+        n = len(op)
+        keep = np.ones(n, dtype=bool)
+        i = 0
+        while i < n:
+            if op[i] == OP_MOVETO:
+                if i + 1 >= n:
+                    keep[i] = False
+                elif op[i + 1] == OP_MOVETO:
+                    keep[i] = False
+                elif op[i + 1] == OP_CLOSEPATH:
+                    keep[i] = False
+                    keep[i + 1] = False
+                    i += 1
+            i += 1
+        op, x, y = op[keep], x[keep], y[keep]
+
+    # pass 3: remove movetos that duplicate the previous lineto endpoint
+    if t == VT_LINE:
+        n = len(op)
+        keep = np.ones(n, dtype=bool)
+        for i in range(1, n):
+            if (
+                op[i] == OP_MOVETO
+                and op[i - 1] == OP_LINETO
+                and (x[i - 1] >> shift) == (x[i] >> shift)
+                and (y[i - 1] >> shift) == (y[i] >> shift)
+            ):
+                keep[i] = False
+        op, x, y = op[keep], x[keep], y[keep]
+    return op, x, y
+
+
+def fix_polygon(op, x, y):
+    """Close rings and fix winding (outer CCW-positive in grid coords) —
+    geometry.cpp:900-976 with default winding options."""
+    out_op, out_x, out_y = [], [], []
+    outer = True
+    n = len(op)
+    i = 0
+    while i < n:
+        o = op[i]
+        if o == OP_CLOSEPATH:
+            outer = True
+            i += 1
+            continue
+        if o != OP_MOVETO:
+            # reference exits; be lenient and skip
+            i += 1
+            continue
+        j = i + 1
+        while j < n and op[j] == OP_LINETO:
+            j += 1
+        rx = list(x[i:j])
+        ry = list(y[i:j])
+        if len(rx) and (rx[0] != rx[-1] or ry[0] != ry[-1]):
+            rx.append(rx[0])
+            ry.append(ry[0])
+        # shoelace of the closed ring (cyclic includes dup endpoint; the
+        # duplicated point contributes zero)
+        ax = np.asarray(rx, dtype=np.float64)
+        ay = np.asarray(ry, dtype=np.float64)
+        area = float((ax * np.roll(ay, -1) - ay * np.roll(ax, -1)).sum() / 2.0)
+        if (area > 0) != outer:
+            rx.reverse()
+            ry.reverse()
+        out_op.extend([OP_MOVETO] + [OP_LINETO] * (len(rx) - 1))
+        out_x.extend(rx)
+        out_y.extend(ry)
+        i = j
+        outer = False
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64),
+        np.asarray(out_y, dtype=np.int64),
+    )
+
+
+def close_poly(op, x, y):
+    """Replace duplicated ring endpoint with CLOSEPATH — geometry.cpp:434-462."""
+    out_op, out_x, out_y = [], [], []
+    for i, j in _rings(op):
+        if j - 1 > i:
+            pass  # reference warns if not closed; we just trust fix_polygon
+        for k in range(i, j - 1):
+            out_op.append(op[k])
+            out_x.append(x[k])
+            out_y.append(y[k])
+        out_op.append(OP_CLOSEPATH)
+        out_x.append(0)
+        out_y.append(0)
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64),
+        np.asarray(out_y, dtype=np.int64),
+    )
+
+
+def clip_point(op, x, y, minx, miny, maxx, maxy):
+    """geometry.cpp:597-617."""
+    keep = (x >= minx) & (y >= miny) & (x <= maxx) & (y <= maxy)
+    return op[keep], x[keep], y[keep]
+
+
+def clip_box(z: int, buffer: int):
+    """Tile-relative clip box [min, area] per geometry.cpp:599-603."""
+    area = 1 << (32 - z)
+    b = buffer * area // 256
+    return -b, area + b
+
+
+# --- Cohen-Sutherland line clip (geometry.cpp:1057-1139) ---
+
+_INSIDE, _LEFT, _RIGHT, _BOTTOM, _TOP = 0, 1, 2, 4, 8
+
+
+def _outcode(x, y, xmin, ymin, xmax, ymax):
+    code = _INSIDE
+    if x < xmin:
+        code |= _LEFT
+    elif x > xmax:
+        code |= _RIGHT
+    if y < ymin:
+        code |= _BOTTOM
+    elif y > ymax:
+        code |= _TOP
+    return code
+
+
+def _cs_clip_segment(x0, y0, x1, y1, xmin, ymin, xmax, ymax):
+    """Returns (code, x0, y0, x1, y1): code 0 rejected, 1 unchanged, 2 clipped."""
+    oc0 = _outcode(x0, y0, xmin, ymin, xmax, ymax)
+    oc1 = _outcode(x1, y1, xmin, ymin, xmax, ymax)
+    changed = 0
+    while True:
+        if not (oc0 | oc1):
+            return 1 + changed, x0, y0, x1, y1
+        if oc0 & oc1:
+            return 0, x0, y0, x1, y1
+        x = x0
+        y = y0
+        oc = oc0 if oc0 else oc1
+        if oc & _TOP:
+            x = x0 + (x1 - x0) * (ymax - y0) / (y1 - y0)
+            y = ymax
+        elif oc & _BOTTOM:
+            x = x0 + (x1 - x0) * (ymin - y0) / (y1 - y0)
+            y = ymin
+        elif oc & _RIGHT:
+            y = y0 + (y1 - y0) * (xmax - x0) / (x1 - x0)
+            x = xmax
+        elif oc & _LEFT:
+            y = y0 + (y1 - y0) * (xmin - x0) / (x1 - x0)
+            x = xmin
+        if oc == oc0:
+            x0, y0 = x, y
+            oc0 = _outcode(x0, y0, xmin, ymin, xmax, ymax)
+            changed = 1
+        else:
+            x1, y1 = x, y
+            oc1 = _outcode(x1, y1, xmin, ymin, xmax, ymax)
+            changed = 1
+
+
+def clip_lines(op, x, y, minx, miny, maxx, maxy):
+    """Per-segment Cohen-Sutherland clip — geometry.cpp:661-689.
+
+    Clipped endpoints are emitted as (MOVETO clipped-start, LINETO
+    clipped-end, MOVETO original-end), exactly like the reference (the C
+    cast from double to long long truncates; numpy ints via int()).
+    """
+    out_op, out_x, out_y = [], [], []
+    n = len(op)
+    for i in range(n):
+        if i > 0 and (op[i - 1] in (OP_MOVETO, OP_LINETO)) and op[i] == OP_LINETO:
+            x1, y1 = float(x[i - 1]), float(y[i - 1])
+            x2, y2 = float(x[i]), float(y[i])
+            c, cx1, cy1, cx2, cy2 = _cs_clip_segment(x1, y1, x2, y2, minx, miny, maxx, maxy)
+            if c > 1:
+                out_op.extend([OP_MOVETO, OP_LINETO, OP_MOVETO])
+                out_x.extend([int(cx1), int(cx2), int(x[i])])
+                out_y.extend([int(cy1), int(cy2), int(y[i])])
+            elif c == 1:
+                out_op.append(op[i])
+                out_x.append(int(x[i]))
+                out_y.append(int(y[i]))
+            else:
+                out_op.append(OP_MOVETO)
+                out_x.append(int(x[i]))
+                out_y.append(int(y[i]))
+        else:
+            out_op.append(op[i])
+            out_x.append(int(x[i]))
+            out_y.append(int(y[i]))
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64),
+        np.asarray(out_y, dtype=np.int64),
+    )
+
+
+def _wround(v: float) -> int:
+    """wagyu wround = llround (round half away from zero)."""
+    return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+
+def _quick_lr_clip(rx, ry, minx, miny, maxx, maxy):
+    """Sutherland-Hodgman ring clip, wagyu quick_clip.hpp:68-105 semantics.
+
+    Edge order 0..3: bottom (y>min.y), right (x<max.x), top (y<max.y),
+    left (x>min.x); intersections rounded with llround.
+    """
+    out = list(zip(rx, ry))
+    for edge in range(4):
+        if not out:
+            break
+        inp = out
+        out = []
+        sx, sy = inp[-1]
+        for ex, ey in inp:
+            if _edge_inside(ex, ey, edge, minx, miny, maxx, maxy):
+                if not _edge_inside(sx, sy, edge, minx, miny, maxx, maxy):
+                    out.append(_edge_intersect(sx, sy, ex, ey, edge, minx, miny, maxx, maxy))
+                out.append((ex, ey))
+            elif _edge_inside(sx, sy, edge, minx, miny, maxx, maxy):
+                out.append(_edge_intersect(sx, sy, ex, ey, edge, minx, miny, maxx, maxy))
+            sx, sy = ex, ey
+    if len(out) < 3:
+        return [], []
+    if out[0] != out[-1]:
+        out.append(out[0])
+    return [p[0] for p in out], [p[1] for p in out]
+
+
+def _edge_inside(px, py, edge, minx, miny, maxx, maxy):
+    if edge == 0:
+        return py > miny
+    if edge == 1:
+        return px < maxx
+    if edge == 2:
+        return py < maxy
+    return px > minx
+
+
+def _edge_intersect(ax, ay, bx, by, edge, minx, miny, maxx, maxy):
+    if edge == 0:
+        return (_wround(ax + (bx - ax) * (miny - ay) / (by - ay)), miny)
+    if edge == 1:
+        return (maxx, _wround(ay + (by - ay) * (maxx - ax) / (bx - ax)))
+    if edge == 2:
+        return (_wround(ax + (bx - ax) * (maxy - ay) / (by - ay)), maxy)
+    return (minx, _wround(ay + (by - ay) * (minx - ax) / (bx - ax)))
+
+
+def simple_clip_poly(op, x, y, minx, miny, maxx, maxy):
+    """Per-ring Sutherland-Hodgman clip — geometry.cpp:464-510."""
+    out_op, out_x, out_y = [], [], []
+    for i, j in _rings(op):
+        rx, ry = _quick_lr_clip(list(map(int, x[i:j])), list(map(int, y[i:j])), minx, miny, maxx, maxy)
+        if rx:
+            out_op.extend([OP_MOVETO] + [OP_LINETO] * (len(rx) - 1))
+            out_x.extend(rx)
+            out_y.extend(ry)
+            # reference re-closes if needed (quick_lr_clip already closed)
+            if (rx[0], ry[0]) != (rx[-1], ry[-1]):
+                out_op.append(OP_LINETO)
+                out_x.append(rx[0])
+                out_y.append(ry[0])
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64),
+        np.asarray(out_y, dtype=np.int64),
+    )
+
+
+def quick_check(bbox, z: int, buffer: int) -> int:
+    """bbox-vs-tile test: 0 out / 1 in / 2 partial — geometry.cpp:619-641.
+
+    bbox is tile-relative (tile spans [0, 2^(32-z)]).
+    """
+    area = 1 << (32 - z)
+    mn = -(buffer * area // 256)
+    mx = area + buffer * area // 256
+    if bbox[0] > mx or bbox[1] > mx:
+        return 0
+    if bbox[2] < mn or bbox[3] < mn:
+        return 0
+    if bbox[0] > mn and bbox[1] > mn and bbox[2] < mx and bbox[3] < mx:
+        return 1
+    return 2
+
+
+def point_within_tile(x: int, y: int, z: int) -> bool:
+    """geometry.cpp:643-650."""
+    area = 1 << (32 - z)
+    return 0 <= x < area and 0 <= y < area
+
+
+# --- Douglas-Peucker simplification (geometry.cpp:691-857) ---
+
+
+def _sq_dist_from_line(px, py, ax, ay, bx, by):
+    p2x = float(bx - ax)
+    p2y = float(by - ay)
+    something = p2x * p2x + p2y * p2y
+    u = 0.0 if something == 0 else ((px - ax) * p2x + (py - ay) * p2y) / something
+    u = min(1.0, max(0.0, u))
+    dx = ax + u * p2x - px
+    dy = ay + u * p2y - py
+    return dx * dx + dy * dy
+
+
+def _douglas_peucker(x, y, necessary, start, n, e, kept, retain):
+    """geometry.cpp:713-769 — identical traversal order for identical output."""
+    e = e * e
+    stack = []
+    left = 0
+    right = 1
+    while right < n:
+        if necessary[start + right]:
+            stack.append(left)
+            stack.append(right)
+            left = right
+        right += 1
+    while stack:
+        second = stack.pop()
+        first = stack.pop()
+        max_distance = -1.0
+        farthest = second
+        for i in range(first + 1, second):
+            d = _sq_dist_from_line(
+                x[start + i], y[start + i],
+                x[start + first], y[start + first],
+                x[start + second], y[start + second],
+            )
+            distance = abs(d)
+            if (distance > e or kept < retain) and distance > max_distance:
+                farthest = i
+                max_distance = distance
+        if max_distance >= 0:
+            necessary[start + farthest] = True
+            kept += 1
+            if farthest - first > 1:
+                stack.append(first)
+                stack.append(farthest)
+            if second - farthest > 1:
+                stack.append(farthest)
+                stack.append(second)
+
+
+def impose_tile_boundaries(op, x, y, necessary, extent):
+    """Insert unsimplifiable nodes at tile-boundary crossings —
+    geometry.cpp:774-803."""
+    out = []
+    n = len(op)
+    for i in range(n):
+        if i > 0 and op[i] == OP_LINETO and op[i - 1] in (OP_MOVETO, OP_LINETO):
+            x1, y1 = float(x[i - 1]), float(y[i - 1])
+            x2, y2 = float(x[i]), float(y[i])
+            c, cx1, cy1, cx2, cy2 = _cs_clip_segment(x1, y1, x2, y2, 0, 0, extent, extent)
+            if c > 1:
+                if cx1 != x[i - 1] or cy1 != y[i - 1]:
+                    out.append((OP_LINETO, int(cx1), int(cy1), True))
+                if cx2 != x[i] or cy2 != y[i]:
+                    out.append((OP_LINETO, int(cx2), int(cy2), True))
+        out.append((op[i], int(x[i]), int(y[i]), bool(necessary[i])))
+    if not out:
+        return op, x, y, necessary
+    oo, ox, oy, on = zip(*out)
+    return (
+        np.asarray(oo, dtype=np.uint8),
+        np.asarray(ox, dtype=np.int64),
+        np.asarray(oy, dtype=np.int64),
+        np.asarray(on, dtype=bool),
+    )
+
+
+def simplify_lines(op, x, y, z, detail, mark_tile_bounds, simplification, retain=2):
+    """geometry.cpp:805-857 (without shared-nodes option)."""
+    res = 1 << (32 - detail - z)
+    area = 1 << (32 - z)
+    n = len(op)
+    necessary = np.empty(n, dtype=bool)
+    for i in range(n):
+        necessary[i] = op[i] != OP_LINETO
+    if mark_tile_bounds:
+        op, x, y, necessary = impose_tile_boundaries(op, x, y, necessary, area)
+        n = len(op)
+    i = 0
+    while i < n:
+        if op[i] == OP_MOVETO:
+            j = i + 1
+            while j < n and op[j] == OP_LINETO:
+                j += 1
+            necessary[i] = True
+            necessary[j - 1] = True
+            if j - i > 1:
+                _douglas_peucker(x, y, necessary, i, j - i, res * simplification, 2, retain)
+            i = j
+        else:
+            i += 1
+    keep = necessary
+    return op[keep], x[keep], y[keep]
+
+
+def reduce_tiny_poly(op, x, y, z, detail, accum_area: float):
+    """Collapse sub-pixel rings with area accumulation —
+    geometry.cpp:518-595.  Returns (op, x, y, reduced, accum_area)."""
+    out_op, out_x, out_y = [], [], []
+    pixel = (1 << (32 - detail - z)) * 2
+    reduced = True
+    included_last_outer = False
+    for i, j in _rings(op):
+        area = get_area(x, y, i, j)
+        if area != 0:
+            if abs(area) <= pixel * pixel or (area < 0 and not included_last_outer):
+                accum_area += area
+                if area > 0 and accum_area > pixel * pixel:
+                    x0, y0 = int(x[i]), int(y[i])
+                    h = pixel // 2
+                    sq = [
+                        (OP_MOVETO, x0 - h, y0 - h),
+                        (OP_LINETO, x0 + h, y0 - h),
+                        (OP_LINETO, x0 + h, y0 + h),
+                        (OP_LINETO, x0 - h, y0 + h),
+                        (OP_LINETO, x0 - h, y0 - h),
+                    ]
+                    for o, xx, yy in sq:
+                        out_op.append(o)
+                        out_x.append(xx)
+                        out_y.append(yy)
+                    accum_area -= pixel * pixel
+                if area > 0:
+                    included_last_outer = False
+            else:
+                for k in range(i, min(j + 1, len(op))):
+                    out_op.append(op[k])
+                    out_x.append(int(x[k]))
+                    out_y.append(int(y[k]))
+                reduced = False
+                if area > 0:
+                    included_last_outer = True
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64),
+        np.asarray(out_y, dtype=np.int64),
+        reduced,
+        accum_area,
+    )
+
+
+def to_tile_scale(x, y, z, detail):
+    """World -> tile-local coordinate shift (geometry.cpp:88-93)."""
+    s = 32 - detail - z
+    return x >> s, y >> s
+
+
+def geom_bbox(op, x, y):
+    """Min/max over moveto/lineto points."""
+    m = (op == OP_MOVETO) | (op == OP_LINETO)
+    if not m.any():
+        return 0, 0, -1, -1
+    return int(x[m].min()), int(y[m].min()), int(x[m].max()), int(y[m].max())
