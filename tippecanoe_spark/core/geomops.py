@@ -50,16 +50,21 @@ def _rings(op: np.ndarray):
 def get_area(x: np.ndarray, y: np.ndarray, i: int, j: int) -> float:
     """Shoelace area of ring [i, j) — geometry.cpp:162-171.
 
-    The reference accumulates in long double; float64 here.  The ring is
-    treated as cyclic (k+1 wraps to i).
+    The reference accumulates products in long double; we compute the
+    doubled area EXACTLY with Python big ints (coordinates are ints, so
+    the shoelace sum is integral) and halve in float.  Sign decisions
+    (winding) are therefore exact.  The ring is cyclic (k+1 wraps to i).
     """
     if j - i < 2:
         return 0.0
-    xs = x[i:j].astype(np.float64)
-    ys = y[i:j].astype(np.float64)
-    xn = np.roll(xs, -1)
-    yn = np.roll(ys, -1)
-    return float((xs * yn - ys * xn).sum() / 2.0)
+    xs = [int(v) for v in x[i:j]]
+    ys = [int(v) for v in y[i:j]]
+    n = len(xs)
+    a2 = 0
+    for k in range(n):
+        k1 = (k + 1) % n
+        a2 += xs[k] * ys[k1] - ys[k] * xs[k1]
+    return a2 / 2.0
 
 
 def get_mp_area(op, x, y) -> float:
@@ -145,11 +150,14 @@ def fix_polygon(op, x, y):
         if len(rx) and (rx[0] != rx[-1] or ry[0] != ry[-1]):
             rx.append(rx[0])
             ry.append(ry[0])
-        # shoelace of the closed ring (cyclic includes dup endpoint; the
-        # duplicated point contributes zero)
-        ax = np.asarray(rx, dtype=np.float64)
-        ay = np.asarray(ry, dtype=np.float64)
-        area = float((ax * np.roll(ay, -1) - ay * np.roll(ax, -1)).sum() / 2.0)
+        # exact integer shoelace of the closed ring (duplicated endpoint
+        # contributes zero to the cyclic sum)
+        n_r = len(rx)
+        a2 = 0
+        for a in range(n_r):
+            b = (a + 1) % n_r
+            a2 += int(rx[a]) * int(ry[b]) - int(ry[a]) * int(rx[b])
+        area = a2 / 2.0
         if (area > 0) != outer:
             rx.reverse()
             ry.reverse()

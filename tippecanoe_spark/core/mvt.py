@@ -263,6 +263,9 @@ def _encode_value(v: MvtValue) -> bytes:
 
 
 def _encode_packed(buf: bytearray, num: int, values) -> None:
+    if not values:
+        # protozero add_packed_* writes nothing for an empty range
+        return
     inner = bytearray()
     for v in values:
         _write_varint(inner, v)

@@ -1,0 +1,401 @@
+"""GeoJSON → feature records, reproducing the reference import path.
+
+Covers:
+- parse_geometry nesting rules (/root/reference/read_json.cpp:44-105):
+  MultiPolygon polygons separated by CLOSEPATH, rings led by MOVETO.
+- property stringification (read_json.cpp:132-185): numbers keep their
+  source text when integral (is_integer on raw text), otherwise Grisu2
+  dtoa; nested arrays/objects canonicalized + stringified compactly;
+  types from {string, double, bool, null}.
+- feature ids (geojson.cpp:101-172): non-negative integers only;
+  optional stringified-id conversion.
+- tippecanoe extension: per-feature minzoom/maxzoom, layername
+  (geojson.cpp:84-99).
+- serialize_feature semantics (serial.cpp:403-704): full-resolution
+  bbox, geometry snapped to geometry_scale grid, fix_polygon, clip
+  boxes, extent, spatial index of bbox midpoint, include/exclude and
+  type coercion.
+
+The parser runs inside mapInPandas batches on executors; this module is
+Spark-free.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..config import TileConfig, shift_left, shift_right
+from ..core import geomops as g
+from ..core.dtoa import dtoa_milo
+from ..core.mvt import T_BOOL, T_DOUBLE, T_NULL, T_STRING, _is_integer, _is_unsigned_integer
+from ..core.projection import bbox_index, lonlat2tile
+
+GEOM_NAMES = ["Point", "MultiPoint", "LineString", "MultiLineString", "Polygon", "MultiPolygon"]
+GEOM_WITHIN = [-1, 0, 0, 2, 2, 4]
+MB_GEOMETRY = [g.VT_POINT, g.VT_POINT, g.VT_LINE, g.VT_LINE, g.VT_POLYGON, g.VT_POLYGON]
+
+
+class RawNumber(str):
+    """JSON number with its source text preserved (jsonpull keeps both
+    the text and the parsed double; we subclass str for the text and
+    lazily parse the double)."""
+
+    @property
+    def number(self) -> float:
+        return float(self)
+
+
+def _parse_json(text: str):
+    return json.loads(text, parse_float=RawNumber, parse_int=RawNumber)
+
+
+def stringify_number(raw: RawNumber) -> str:
+    """read_json.cpp:162-172: keep source text via std::to_string when the
+    text is integral, else Grisu2 of the parsed double."""
+    v = _is_integer(raw)
+    if v is not None:
+        return str(v)
+    uv = _is_unsigned_integer(raw)
+    if uv is not None:
+        return str(uv)
+    return dtoa_milo(raw.number)
+
+
+def _canonicalize(value):
+    """canonicalize() (read_json.cpp:106-130) — rewrite numbers in nested
+    values, then stringify compactly (jsonpull json_stringify format:
+    ',' / ':' separators, minimal escaping)."""
+    if isinstance(value, RawNumber):
+        return stringify_number(value)
+    if isinstance(value, dict):
+        return {k: _canonicalize(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_canonicalize(v) for v in value]
+    return value
+
+
+def _stringify_compact(value) -> str:
+    if isinstance(value, str):
+        out = ['"']
+        for c in value:
+            if c in ('\\', '"'):
+                out.append('\\' + c)
+            elif c < ' ':
+                out.append('\\u%04x' % ord(c))
+            else:
+                out.append(c)
+        out.append('"')
+        return "".join(out)
+    if value is None:
+        return "null"
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    if isinstance(value, dict):
+        return "{" + ",".join(_stringify_compact(k) + ":" + _stringify_compact(v) for k, v in value.items()) + "}"
+    if isinstance(value, list):
+        return "[" + ",".join(_stringify_compact(v) for v in value) + "]"
+    return str(value)  # canonicalized number (already a plain str)
+
+
+def stringify_value(value):
+    """read_json.cpp:132-185 → (type, stringified)."""
+    if isinstance(value, RawNumber):
+        return T_DOUBLE, stringify_number(value)
+    if isinstance(value, str):
+        return T_STRING, value
+    if value is True:
+        return T_BOOL, "true"
+    if value is False:
+        return T_BOOL, "false"
+    if value is None:
+        return T_NULL, "null"
+    # nested object/array -> canonicalized JSON text, typed string
+    return T_STRING, _stringify_compact(_canonicalize(value))
+
+
+def parse_geometry(gtype: int, coords, out: list, op: int = g.OP_MOVETO) -> None:
+    """read_json.cpp:44-105.  Appends (op, lon, lat) tuples; projection
+    happens in bulk afterwards (same result, vectorized)."""
+    if not isinstance(coords, list):
+        return
+    within = GEOM_WITHIN[gtype]
+    if within >= 0:
+        for i, sub in enumerate(coords):
+            if within == 0:  # GEOM_POINT
+                if i == 0 or MB_GEOMETRY[gtype] == g.VT_POINT:
+                    op = g.OP_MOVETO
+                else:
+                    op = g.OP_LINETO
+            parse_geometry(within, sub, out, op)
+    else:
+        if len(coords) >= 2 and isinstance(coords[0], (RawNumber, int, float)) and isinstance(coords[1], (RawNumber, int, float)):
+            out.append((op, float(coords[0]), float(coords[1])))
+    if gtype == 4:  # GEOM_POLYGON: separator between MultiPolygon members
+        out.append((g.OP_CLOSEPATH, 0.0, 0.0))
+
+
+def coerce_value(key: str, vtype: int, sval: str, attribute_types: dict):
+    """-T coercion (serial.cpp:706-740)."""
+    want = attribute_types.get(key)
+    if want is None:
+        return vtype, sval
+    if want == "string":
+        return T_STRING, sval
+    if want == "float":
+        return T_DOUBLE, sval
+    if want == "int":
+        if vtype == T_BOOL:
+            return T_DOUBLE, "1" if sval == "true" else "0"
+        try:
+            return T_DOUBLE, str(int(float(sval)))
+        except ValueError:
+            return T_DOUBLE, "0"
+    if want == "bool":
+        if sval in ("false", "0", "null", "") or (vtype == T_DOUBLE and float(sval) == 0.0):
+            return T_BOOL, "false"
+        return T_BOOL, "true"
+    return vtype, sval
+
+
+def parse_feature_id(idval, convert_stringified: bool):
+    """geojson.cpp:101-172 — returns (has_id, id) keeping only
+    non-negative integer ids."""
+    if idval is None:
+        return False, 0
+    if isinstance(idval, RawNumber):
+        v = _is_unsigned_integer(idval)
+        if v is not None and v < (1 << 64):
+            text = str(idval)
+            # reference requires round-trip via to_string(strtoull)
+            if text.lstrip().lstrip("+") == str(v) or float(idval) == v:
+                return True, v
+        return False, 0
+    if convert_stringified and isinstance(idval, str):
+        try:
+            raw = RawNumber(idval)
+            v = _is_unsigned_integer(raw)
+            if v is not None and float(raw) == v:
+                return True, v
+        except ValueError:
+            pass
+    return False, 0
+
+
+def feature_records(text: str, layer: str, cfg: TileConfig, seq_start: int = 0):
+    """Parse a GeoJSON text (Feature / FeatureCollection / bare geometry /
+    newline-delimited features) into importable feature dicts.
+
+    Returns list of dicts with keys: layer, seq, t, has_id, id,
+    tp_minzoom, tp_maxzoom, keys, vtypes, values, ops, xs, ys (projected,
+    full-resolution z32 ints, pre-snapping).
+    """
+    objs = []
+    stripped = text.strip()
+    try:
+        j = _parse_json(stripped)
+        objs.append(j)
+    except json.JSONDecodeError:
+        for line in stripped.replace("\x1e", "\n").splitlines():
+            line = line.strip().rstrip(",")
+            if not line:
+                continue
+            objs.append(_parse_json(line))
+
+    feats = []
+
+    def walk(o):
+        if not isinstance(o, dict):
+            return
+        t = o.get("type")
+        if t == "FeatureCollection":
+            for f in o.get("features", []):
+                walk(f)
+        elif t == "Feature":
+            geom = o.get("geometry")
+            if geom is None:
+                return
+            if geom.get("type") == "GeometryCollection":
+                for sub in geom.get("geometries", []):
+                    feats.append((dict(o, geometry=sub), sub))
+            else:
+                feats.append((o, geom))
+        elif t in GEOM_NAMES:
+            feats.append(({"type": "Feature", "properties": {}, "geometry": o}, o))
+
+    for o in objs:
+        walk(o)
+
+    out = []
+    seq = seq_start
+    for fobj, geom in feats:
+        gt = geom.get("type")
+        if gt not in GEOM_NAMES:
+            seq += 1
+            continue
+        gtype = GEOM_NAMES.index(gt)
+        raw = []
+        parse_geometry(gtype, geom.get("coordinates", []), raw)
+        if not raw:
+            seq += 1
+            continue
+
+        tc = fobj.get("tippecanoe", {}) or {}
+        tp_minzoom = int(tc["minzoom"]) if "minzoom" in tc else -1
+        tp_maxzoom = int(tc["maxzoom"]) if "maxzoom" in tc else -1
+        layername = tc.get("layer", layer)
+
+        has_id, fid = parse_feature_id(fobj.get("id"), cfg.convert_stringified_ids)
+
+        keys, vtypes, values = [], [], []
+        props = fobj.get("properties") or {}
+        for k, v in props.items():
+            if not isinstance(k, str):
+                continue
+            vt, sv = stringify_value(v)
+            keys.append(k)
+            vtypes.append(vt)
+            values.append(sv)
+
+        rec = import_feature(
+            raw, MB_GEOMETRY[gtype], layername, seq, has_id, fid,
+            tp_minzoom, tp_maxzoom, keys, vtypes, values, cfg,
+        )
+        seq += 1
+        if rec is not None:
+            out.append(rec)
+    return out
+
+
+def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
+                   keys, vtypes, values, cfg: TileConfig):
+    """serialize_feature semantics (serial.cpp:403-704) for one feature.
+
+    raw_pts: list of (op, lon, lat).  Returns the feature record dict or
+    None if clipped away / empty.
+    """
+    ops = np.asarray([p[0] for p in raw_pts], dtype=np.uint8)
+    lons = np.asarray([p[1] for p in raw_pts], dtype=np.float64)
+    lats = np.asarray([p[2] for p in raw_pts], dtype=np.float64)
+    xs, ys = lonlat2tile(lons, lats, 32)
+    # CLOSEPATH placeholders don't carry coordinates
+    cp = ops == g.OP_CLOSEPATH
+    xs[cp] = 0
+    ys[cp] = 0
+
+    gs = cfg.geometry_scale
+    pt = ~cp
+
+    # full-resolution bbox BEFORE snapping (scale_geometry, serial.cpp:322-390)
+    if pt.any():
+        bbox = [int(xs[pt].min()), int(ys[pt].min()), int(xs[pt].max()), int(ys[pt].max())]
+    else:
+        return None
+
+    # snap to the geometry_scale grid: SHIFT_LEFT(SHIFT_RIGHT(x))
+    if gs > 0:
+        C = 4 << 32
+        xs = (((xs + C) >> gs) << gs) - C
+        ys = (((ys + C) >> gs) << gs) - C
+
+    if t == g.VT_POLYGON:
+        ops, xs, ys = g.fix_polygon(ops, xs, ys)
+
+    for (cminx, cminy, cmaxx, cmaxy) in cfg.clip_bboxes:
+        sminx, sminy = shift_left(shift_right(cminx, gs), gs), shift_left(shift_right(cminy, gs), gs)
+        smaxx, smaxy = shift_left(shift_right(cmaxx, gs), gs), shift_left(shift_right(cmaxy, gs), gs)
+        if t == g.VT_POLYGON:
+            ops, xs, ys = g.simple_clip_poly(ops, xs, ys, sminx, sminy, smaxx, smaxy)
+        elif t == g.VT_LINE:
+            ops, xs, ys = g.clip_lines(ops, xs, ys, sminx, sminy, smaxx, smaxy)
+            ops, xs, ys = g.remove_noop(ops, xs, ys, t, 0)
+        else:
+            ops, xs, ys = g.clip_point(ops, xs, ys, sminx, sminy, smaxx, smaxy)
+        m = ops != g.OP_CLOSEPATH
+        if not m.any():
+            return None
+        bbox = [int(xs[m].min()), int(ys[m].min()), int(xs[m].max()), int(ys[m].max())]
+
+    if len(ops) == 0:
+        return None
+
+    if not has_id and cfg.generate_ids:
+        has_id = True
+        fid = seq + 1
+
+    # extent for drop/coalesce-smallest (serial.cpp:517-548), computed on
+    # geometry_scale-scaled coordinates
+    extent = 0
+    if cfg.drop_smallest or cfg.coalesce_smallest:
+        sxs = ((xs + (4 << 32)) >> gs) - ((4 << 32) >> gs) if gs else xs
+        sys_ = ((ys + (4 << 32)) >> gs) - ((4 << 32) >> gs) if gs else ys
+        if t == g.VT_POLYGON:
+            e = 0.0
+            for i, jj in g._rings(ops):
+                e += g.get_area(sxs, sys_, i, jj)
+            extent = int(e) if e <= (1 << 63) - 1 else (1 << 63) - 1
+        elif t == g.VT_LINE:
+            e = 0.0
+            for i in range(1, len(ops)):
+                if ops[i] == g.OP_LINETO:
+                    xd = float(sxs[i] - sxs[i - 1])
+                    yd = float(sys_[i] - sys_[i - 1])
+                    e += (xd * xd + yd * yd) ** 0.5
+            extent = int(e) if e <= (1 << 63) - 1 else (1 << 63) - 1
+        if extent < 1:
+            extent = 1
+
+    # spatial index of bbox midpoint (serial.cpp:554-566)
+    if cfg.uses_index:
+        ix = int(bbox_index(bbox[0], bbox[1], bbox[2], bbox[3], cfg.use_hilbert)[()])
+    else:
+        ix = 0
+
+    # attribute include/exclude (serial.cpp:630-641)
+    fkeys, fvtypes, fvalues = [], [], []
+    for k, vt, sv in zip(keys, vtypes, values):
+        if cfg.exclude_all:
+            if k not in cfg.include:
+                continue
+        elif k in cfg.exclude:
+            continue
+        vt, sv = coerce_value(k, vt, sv, cfg.attribute_types)
+        fkeys.append(k)
+        fvtypes.append(vt)
+        fvalues.append(sv)
+
+    if cfg.use_attribute_for_id is not None:
+        for k, vt, sv in zip(fkeys, fvtypes, fvalues):
+            if k == cfg.use_attribute_for_id:
+                try:
+                    v = int(float(sv))
+                    if v >= 0 and float(sv) == v:
+                        has_id, fid = True, v
+                except ValueError:
+                    pass
+                break
+
+    return {
+        "layer": layer,
+        "seq": seq,
+        "t": int(t),
+        "has_id": has_id,
+        "id": fid,
+        "tp_minzoom": tp_minzoom,
+        "tp_maxzoom": tp_maxzoom,
+        "keys": fkeys,
+        "vtypes": fvtypes,
+        "values": fvalues,
+        "ops": ops.astype(np.int8),
+        "xs": xs.astype(np.int64),
+        "ys": ys.astype(np.int64),
+        "bbox_minx": bbox[0],
+        "bbox_miny": bbox[1],
+        "bbox_maxx": bbox[2],
+        "bbox_maxy": bbox[3],
+        "ix": ix,
+        "extent": extent,
+    }

@@ -1,0 +1,701 @@
+"""Per-tile processing: clip, fan-out to children, drop ladder, simplify,
+quantize, MVT-encode.
+
+This reproduces write_tile (/root/reference/tile.cpp:1718-2538) and the
+rewrite() pyramid fan-out (tile.cpp:251-356) as a pandas group function
+applied per (z, x, y) tile.  The zoom cascade (parent tile feeds its
+children) mirrors the reference exactly, including the intermediate
+re-snapping of clipped coordinates to the geometry_scale grid, so that
+quantized output geometry is bit-identical.
+
+Input group rows arrive in arbitrary order and are sorted by (ix, seq)
+— the reference's global sort order (indexcmp, main.cpp:223-240) which
+rewrite preserves into every child shard.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from ..config import TileConfig, shift_left, shift_right
+from ..core import geomops as g
+from ..core import mvt as M
+
+# ---------------------------------------------------------------------------
+
+
+def clip_to_tile(ops, xs, ys, t, z, buffer, bbox, no_clipping=False, no_duplication=False):
+    """tile.cpp:1226-1301 — returns (ops, xs, ys, skip) with geometry in
+    tile-relative coordinates.  bbox is tile-relative too."""
+    quick = g.quick_check(bbox, z, buffer)
+
+    if z == 0:
+        edge = (1 << 32) * buffer // 256
+        if bbox[0] <= edge or bbox[2] >= (1 << 32) - edge:
+            n = len(ops)
+            add_ops, add_xs, add_ys = [], [], []
+            if bbox[0] <= edge:
+                add_ops.append(ops[:n])
+                add_xs.append(xs[:n] + (1 << 32))
+                add_ys.append(ys[:n])
+            if bbox[2] >= (1 << 32) - edge:
+                add_ops.append(ops[:n])
+                add_xs.append(xs[:n] - (1 << 32))
+                add_ys.append(ys[:n])
+            ops = np.concatenate([ops] + add_ops)
+            xs = np.concatenate([xs] + add_xs)
+            ys = np.concatenate([ys] + add_ys)
+            bbox[0] = 0
+            bbox[2] = 1 << 32
+            quick = -1
+
+    if quick == 0:
+        return ops, xs, ys, True
+
+    if quick != 1 or no_duplication:
+        mn, mx = g.clip_box(z, buffer)
+        if t == g.VT_LINE:
+            cops, cxs, cys = g.clip_lines(ops, xs, ys, mn, mn, mx, mx)
+        elif t == g.VT_POLYGON:
+            cops, cxs, cys = g.simple_clip_poly(ops, xs, ys, mn, mn, mx, mx)
+        else:
+            cops, cxs, cys = g.clip_point(ops, xs, ys, mn, mn, mx, mx)
+        cops, cxs, cys = g.remove_noop(cops, cxs, cys, t, 0)
+
+        if no_duplication and z != 0:
+            midx = (bbox[0] + bbox[2]) // 2
+            midy = (bbox[1] + bbox[3]) // 2
+            if not g.point_within_tile(midx, midy, z):
+                return ops[:0], xs[:0], ys[:0], False
+        elif no_clipping and z != 0:
+            if len(cops) == 0:
+                return ops[:0], xs[:0], ys[:0], False
+        else:
+            return cops, cxs, cys, False
+    return ops, xs, ys, False
+
+
+def children_of(bbox_rel, z, nextzoom, buffer):
+    """rewrite() child-tile ranges (tile.cpp:253-280): which (xo, yo)
+    offsets within the span the feature reaches."""
+    span = 1 << (nextzoom - z)
+    div = 1 << (32 - nextzoom - 8)
+
+    def cdiv(a, b):  # C integer division truncates toward zero
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    b2 = [cdiv(int(v), div) for v in bbox_rel]
+    b2[0] -= buffer + 1
+    b2[1] -= buffer + 1
+    b2[2] += buffer
+    b2[3] += buffer
+    for k in range(4):
+        if b2[k] < 0:
+            b2[k] = 0
+        if b2[k] >= 256 * span:
+            b2[k] = 256 * (span - 1)
+        b2[k] //= 256
+    return range(b2[0], b2[2] + 1), range(b2[1], b2[3] + 1)
+
+
+def manage_gap(index, previndex, scale, gamma, gap):
+    """tile.cpp:529-559 — returns (drop, previndex, gap)."""
+    if gamma > 0:
+        if gap > 0:
+            if index == previndex:
+                return True, previndex, gap
+            if index < previndex or math.exp(math.log((index - previndex) / scale) * gamma) >= gap:
+                gap = 0.0
+            else:
+                return True, previndex, gap
+        elif index >= previndex:
+            gap = (index - previndex) / scale
+            if gap < 1:
+                return True, index, gap
+            gap = 0.0
+            return False, index, gap
+    return False, index, gap
+
+
+def _geom_rel_bbox(ops, xs, ys):
+    m = ops != g.OP_CLOSEPATH
+    if not m.any():
+        return None
+    return [int(xs[m].min()), int(ys[m].min()), int(xs[m].max()), int(ys[m].max())]
+
+
+def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
+    """Process one tile's features.
+
+    rows: list of dicts (already sorted by (ix, seq)) with world-snapped
+    geometry arrays.  Returns (tile_bytes_or_None, child_rows, stats).
+
+    pass_params carries zoom-global discovered drop parameters
+    (mingap/minextent/fraction/gamma) for the 2-pass as-needed modes.
+    """
+    buffer = cfg.buffer
+    gs = cfg.geometry_scale
+    nextzoom = z + 1
+    detail = cfg.detail_at(z)
+    origin_x = tx << (32 - z) if z else 0
+    origin_y = ty << (32 - z) if z else 0
+
+    gamma = cfg.gamma
+    mingap = 0
+    minextent = 0
+    fraction = 1.0
+    if pass_params:
+        gamma = pass_params.get("gamma", gamma)
+        mingap = pass_params.get("mingap", 0)
+        minextent = pass_params.get("minextent", 0)
+        fraction = pass_params.get("fraction", 1.0)
+    if cfg.cluster_distance != 0:
+        # tile.cpp:2787
+        mingap = max(mingap, ((1 << (32 - z)) // 256 * cfg.cluster_distance) ** 2)
+
+    children = []
+    partials = []
+    previndex = 0
+    gap = 0.0
+    merge_previndex = 0
+    fraction_accum = 0.0
+    accum_area = 0.0
+    coalesced_area = 0
+    indices = []
+    extents = []
+    density_previndex = 0
+    density_gap = 0.0
+    scale_z = float(1 << (64 - 2 * (z + 8)))  # drop_state.scale (main.cpp:1002)
+
+    for row in rows:
+        t = row["t"]
+        ops = row["ops"]
+        # tile-relative coordinates
+        xs = row["xs"] - origin_x
+        ys = row["ys"] - origin_y
+        bbox = _geom_rel_bbox(ops, xs, ys)
+        if bbox is None:
+            continue
+
+        ops, xs, ys, skip = clip_to_tile(
+            ops, xs, ys, t, z, buffer, bbox,
+            no_clipping=cfg.no_clipping, no_duplication=cfg.no_duplication,
+        )
+        if skip:
+            continue
+
+        # rewrite to next zoom (tile.cpp:1700-1716 via next_feature)
+        if (nextzoom <= cfg.maxzoom or cfg.extend_zooms) and len(ops) > 0:
+            if row["tp_maxzoom"] == -1 or row["tp_maxzoom"] >= nextzoom:
+                xr, yr = children_of(bbox, z, nextzoom, buffer)
+                span = 1 << (nextzoom - z)
+                # child geometry: re-snapped world coordinates
+                cxs = xs + origin_x
+                cys = ys + origin_y
+                if gs > 0:
+                    C = 4 << 32
+                    cxs = (((cxs + C) >> gs) << gs) - C
+                    cys = (((cys + C) >> gs) << gs) - C
+                for xo in xr:
+                    for yo in yr:
+                        child = dict(row)
+                        child["ops"] = ops
+                        child["xs"] = cxs
+                        child["ys"] = cys
+                        child["tile_x"] = tx * span + xo
+                        child["tile_y"] = ty * span + yo
+                        children.append(child)
+
+        # gates (next_feature, tile.cpp:1352-1361 + 1423-1427)
+        if z < cfg.minzoom:
+            continue
+        if row["tp_minzoom"] != -1 and z < row["tp_minzoom"]:
+            continue
+        if row["tp_maxzoom"] != -1 and z > row["tp_maxzoom"]:
+            continue
+
+        dropped = row["tp_minzoom"] == -1 and z < row["fmz"]
+
+        if len(ops) == 0:
+            continue
+
+        sf_index = np.uint64(np.int64(row["ix"])).item() if row["ix"] else 0
+        sf_extent = row["extent"]
+
+        # drop ladder (tile.cpp:1870-2004)
+        if dropped:
+            wp = _find_partial(partials, row)
+            if wp is not None:
+                _preserve_attributes(cfg.accumulate, row, partials[wp])
+                continue
+
+        if gamma > 0:
+            drop, previndex, gap = manage_gap(sf_index, previndex, scale_z, gamma, gap)
+            if drop:
+                wp = _find_partial(partials, row)
+                if wp is not None:
+                    _preserve_attributes(cfg.accumulate, row, partials[wp])
+                    continue
+
+        if cfg.cluster_densest or cfg.cluster_distance != 0:
+            indices.append(sf_index)
+            if sf_index < merge_previndex or sf_index - merge_previndex < mingap:
+                wp = _find_partial(partials, row)
+                if wp is not None:
+                    p = partials[wp]
+                    p["clustered"] += 1
+                    if (
+                        p["t"] == g.VT_POINT
+                        and len(p["geoms"]) == 1
+                        and len(p["geoms"][0][0]) == 1
+                        and len(ops) == 1
+                    ):
+                        po, px_, py_ = p["geoms"][0]
+                        n_cl = p["clustered"]
+                        x = float(px_[0]) * n_cl + float(xs[0])
+                        y = float(py_[0]) * n_cl + float(ys[0])
+                        px_[0] = int(x / (n_cl + 1))
+                        py_[0] = int(y / (n_cl + 1))
+                    _preserve_attributes(cfg.accumulate, row, p)
+                    continue
+        elif cfg.drop_densest:
+            indices.append(sf_index)
+            if sf_index - merge_previndex < mingap:
+                wp = _find_partial(partials, row)
+                if wp is not None:
+                    _preserve_attributes(cfg.accumulate, row, partials[wp])
+                    continue
+        elif cfg.coalesce_densest:
+            indices.append(sf_index)
+            if sf_index - merge_previndex < mingap:
+                wp = _find_partial(partials, row)
+                if wp is not None:
+                    partials[wp]["geoms"].append((ops, xs, ys))
+                    coalesced_area += sf_extent
+                    _preserve_attributes(cfg.accumulate, row, partials[wp])
+                    continue
+        elif cfg.drop_smallest:
+            extents.append(sf_extent)
+            if sf_extent + coalesced_area <= minextent and t != g.VT_POINT:
+                wp = _find_partial(partials, row)
+                if wp is not None:
+                    _preserve_attributes(cfg.accumulate, row, partials[wp])
+                    continue
+        elif cfg.coalesce_smallest:
+            extents.append(sf_extent)
+            if sf_extent + coalesced_area <= minextent:
+                wp = _find_partial(partials, row)
+                if wp is not None:
+                    partials[wp]["geoms"].append((ops, xs, ys))
+                    coalesced_area += sf_extent
+                    _preserve_attributes(cfg.accumulate, row, partials[wp])
+                    continue
+
+        spacing = 0.0
+        if cfg.calculate_feature_density:
+            o_prev = density_previndex
+            drop_d, density_previndex, density_gap = manage_gap(
+                sf_index, density_previndex, scale_z, 1.0, density_gap)
+            if not drop_d:
+                spacing = (sf_index - o_prev) / scale_z
+
+        fraction_accum += fraction
+        if fraction_accum < 1:
+            wp = _find_partial(partials, row)
+            if wp is not None:
+                if cfg.coalesce_fraction:
+                    partials[wp]["geoms"].append((ops, xs, ys))
+                    coalesced_area += sf_extent
+                _preserve_attributes(cfg.accumulate, row, partials[wp])
+                continue
+        fraction_accum -= 1
+
+        reduced = False
+        if t == g.VT_POLYGON:
+            if not cfg.no_tiny_polygon_reduction and not cfg.grid_low_zooms:
+                ops, xs, ys, reduced, accum_area = g.reduce_tiny_poly(
+                    ops, xs, ys, z, detail, accum_area)
+        if t in (g.VT_POLYGON, g.VT_LINE):
+            if _line_is_too_small(ops, xs, ys, z, detail):
+                continue
+
+        if len(ops) > 0:
+            partials.append({
+                "geoms": [(ops, xs, ys)],
+                "layer": row["layer"],
+                "t": t,
+                "seq": row["seq"],
+                "reduced": reduced,
+                "keys": list(row["keys"]),
+                "vtypes": list(row["vtypes"]),
+                "values": list(row["values"]),
+                "spacing": spacing,
+                "id": row["id"],
+                "has_id": row["has_id"],
+                "index": sf_index,
+                "extent": sf_extent,
+                "clustered": 0,
+                "accum_state": {},
+            })
+
+        merge_previndex = sf_index
+        coalesced_area = 0
+
+    # cluster attributes (tile.cpp:2025-2052)
+    for p in partials:
+        if p["clustered"] > 0:
+            p["keys"].append("clustered")
+            p["vtypes"].append(M.T_BOOL)
+            p["values"].append("true")
+            p["keys"].append("point_count")
+            p["vtypes"].append(M.T_DOUBLE)
+            p["values"].append(_cpp_to_string_int(p["clustered"] + 1))
+            p["keys"].append("sqrt_point_count")
+            p["vtypes"].append(M.T_DOUBLE)
+            p["values"].append(_cpp_to_string_double(round(100 * math.sqrt(p["clustered"] + 1)) / 100.0))
+
+    # simplification worker (partial_feature_worker, tile.cpp:438-528)
+    finished = []
+    for p in partials:
+        geoms = p["geoms"]
+        ops = np.concatenate([gg[0] for gg in geoms])
+        xs = np.concatenate([gg[1] for gg in geoms])
+        ys = np.concatenate([gg[2] for gg in geoms])
+        t = p["t"]
+
+        area = 0.0
+        if t == g.VT_POLYGON:
+            area = g.get_mp_area(ops, xs, ys)
+
+        if t in (g.VT_LINE, g.VT_POLYGON) and not (
+            cfg.no_simplification
+            or (z == cfg.maxzoom and cfg.no_simplification_low)
+            or (z < cfg.maxzoom and cfg.grid_low_zooms)
+        ):
+            if t == g.VT_LINE:
+                ops, xs, ys = g.remove_noop(ops, xs, ys, t, 32 - z - detail)
+            nops, nxs, nys = g.simplify_lines(
+                ops, xs, ys, z, detail,
+                not (cfg.no_clipping or cfg.no_duplication),
+                cfg.simplification,
+                retain=4 if t == g.VT_POLYGON else 0,
+            )
+            if t != g.VT_POLYGON or len(nops) >= 3:
+                ops, xs, ys = nops, nxs, nys
+
+        if t == g.VT_LINE and cfg.reverse:
+            ops, xs, ys = _reorder_lines(ops, xs, ys, cfg)
+
+        xs, ys = g.to_tile_scale(xs, ys, z, detail)
+
+        if t == g.VT_POLYGON:
+            before = (ops.copy(), xs.copy(), ys.copy())
+            ops, xs, ys = _clean_poly(ops, xs, ys)
+            if len(ops) < 3:
+                if area > 0:
+                    ops, xs, ys = _revive_polygon(*before, area, z, detail)
+                else:
+                    ops, xs, ys = ops[:0], xs[:0], ys[:0]
+
+        p["out"] = (ops, xs, ys)
+        finished.append(p)
+
+    # group into layers (std::map => sorted layer names)
+    layers = {}
+    for p in finished:
+        layers.setdefault(p["layer"], []).append(p)
+
+    tile = M.MvtTile()
+    total_features = 0
+    for layer_name in sorted(layers.keys()):
+        feats = layers[layer_name]
+
+        if cfg.reorder:
+            feats.sort(key=_coal_sort_key)
+
+        # coalesce (-ac) — tile.cpp:2203-2240
+        if cfg.coalesce:
+            merged = []
+            for c in feats:
+                if merged and _coalcmp(c, merged[-1]) == 0:
+                    mo, mx_, my_ = merged[-1]["out"]
+                    co, cx_, cy_ = c["out"]
+                    merged[-1]["out"] = (
+                        np.concatenate([mo, co]),
+                        np.concatenate([mx_, cx_]),
+                        np.concatenate([my_, cy_]),
+                    )
+                    merged[-1]["coalesced"] = True
+                else:
+                    c.setdefault("coalesced", False)
+                    merged.append(c)
+            feats = merged
+            out2 = []
+            for c in feats:
+                ops, xs, ys = c["out"]
+                if c.get("coalesced") and c["t"] == g.VT_LINE:
+                    ops, xs, ys = g.remove_noop(ops, xs, ys, c["t"], 0)
+                    ops, xs, ys = g.simplify_lines(
+                        ops, xs, ys, 32, 0,
+                        not (cfg.no_clipping or cfg.no_duplication),
+                        cfg.simplification, retain=0)
+                if c["t"] == g.VT_POLYGON:
+                    if c.get("coalesced"):
+                        ops, xs, ys = _clean_poly(ops, xs, ys)
+                    ops, xs, ys = g.close_poly(ops, xs, ys)
+                c["out"] = (ops, xs, ys)
+                if len(ops) > 0:
+                    out2.append(c)
+            feats = out2
+        else:
+            out2 = []
+            for c in feats:
+                ops, xs, ys = c["out"]
+                if c["t"] == g.VT_POLYGON:
+                    ops, xs, ys = g.close_poly(ops, xs, ys)
+                    c["out"] = (ops, xs, ys)
+                if len(ops) > 0:
+                    out2.append(c)
+            feats = out2
+
+        if cfg.no_input_order:
+            feats.sort(key=lambda p: p["seq"])
+
+        layer = M.MvtLayer(name=layer_name, version=2, extent=1 << detail)
+        for c in feats:
+            ops, xs, ys = c["out"]
+            if c["t"] in (g.VT_LINE, g.VT_POLYGON):
+                ops, xs, ys = g.remove_noop(ops, xs, ys, c["t"], 0)
+            if len(ops) == 0:
+                continue
+            feature = M.MvtFeature()
+            feature.type = c["t"]
+            feature.geometry = [
+                (int(o), int(x), int(y)) for o, x, y in zip(ops, xs, ys)
+            ]
+            feature.id = c["id"]
+            feature.has_id = bool(c["has_id"])
+            for k, vt, sv in zip(c["keys"], c["vtypes"], c["values"]):
+                if vt == M.T_NULL:
+                    continue
+                layer.tag(feature, k, M.stringified_to_mvt_value(vt, sv))
+            if cfg.calculate_feature_density:
+                glow = 255
+                if c["spacing"] > 0:
+                    glow = min(int(1 / c["spacing"]), 255)
+                layer.tag(feature, "tippecanoe_feature_density", M.MvtValue(M.T_SINT, i=glow))
+            layer.features.append(feature)
+        if layer.features:
+            tile.layers.append(layer)
+            total_features += len(layer.features)
+
+    tile_bytes = None
+    if total_features > 0 and tile.layers:
+        raw = M.encode_tile(tile)
+        tile_bytes = raw if cfg.no_tile_compression else M.gzip_tile(raw)
+
+    stats = {
+        "features": total_features,
+        "indices": indices,
+        "extents": extents,
+    }
+    return tile_bytes, children, stats
+
+
+def _line_is_too_small(ops, xs, ys, z, detail):
+    """tile.cpp:1698-1716 — all points quantize into the same pixel
+    (geometry here is moveto/lineto only; fix_polygon consumed any
+    closepath separators)."""
+    if len(ops) == 0:
+        return True
+    shift = 32 - detail - z
+    qx = xs >> shift
+    qy = ys >> shift
+    return bool((qx == qx[0]).all() and (qy == qy[0]).all())
+
+
+def _find_partial(partials, row):
+    """find_partial (tile.cpp:1682-1696): latest partial with same layer
+    and type."""
+    for i in range(len(partials) - 1, -1, -1):
+        if partials[i]["layer"] == row["layer"] and partials[i]["t"] == row["t"]:
+            return i
+    return None
+
+
+def _cpp_to_string_int(v: int) -> str:
+    return str(int(v))
+
+
+def _cpp_to_string_double(v: float) -> str:
+    """std::to_string(double) — fixed 6 decimals."""
+    return "%.6f" % v
+
+
+def _preserve_attributes(accumulate: dict, row, partial):
+    """preserve_attribute(s) — tile.cpp:1569-1680."""
+    if not accumulate:
+        return
+    for k, vt, sv in zip(row["keys"], row["vtypes"], row["values"]):
+        op = accumulate.get(k)
+        if op is None:
+            continue
+        _fold_attribute(partial, k, vt, sv, op)
+
+
+def _fold_attribute(partial, key, vtype, sval, op):
+    keys = partial["keys"]
+    vtypes = partial["vtypes"]
+    values = partial["values"]
+    try:
+        i = keys.index(key)
+    except ValueError:
+        keys.append(key)
+        vtypes.append(vtype)
+        values.append(sval)
+        return
+    if op == "sum":
+        values[i] = _fmt_num(float(values[i]) + float(sval))
+        vtypes[i] = M.T_DOUBLE
+    elif op == "product":
+        values[i] = _fmt_num(float(values[i]) * float(sval))
+        vtypes[i] = M.T_DOUBLE
+    elif op == "max":
+        values[i] = _fmt_num(max(float(values[i]), float(sval)))
+        vtypes[i] = M.T_DOUBLE
+    elif op == "min":
+        values[i] = _fmt_num(min(float(values[i]), float(sval)))
+        vtypes[i] = M.T_DOUBLE
+    elif op == "mean":
+        st = partial["accum_state"].setdefault(key, {"sum": float(values[i]), "count": 1})
+        st["sum"] += float(sval)
+        st["count"] += 1
+        values[i] = _fmt_num(st["sum"] / st["count"])
+        vtypes[i] = M.T_DOUBLE
+    elif op == "concat":
+        values[i] = values[i] + sval
+        vtypes[i] = M.T_STRING
+    elif op == "comma":
+        values[i] = values[i] + "," + sval
+        vtypes[i] = M.T_STRING
+
+
+def _fmt_num(v: float) -> str:
+    from ..core.dtoa import dtoa_milo
+
+    if v == int(v) and abs(v) < (1 << 63):
+        return str(int(v))
+    return dtoa_milo(v)
+
+
+def _coalcmp(a, b):
+    """coalcmp (tile.cpp:115-169): compare layer, type, id, attrs."""
+    if a["layer"] != b["layer"]:
+        return -1 if a["layer"] < b["layer"] else 1
+    if a["t"] != b["t"]:
+        return a["t"] - b["t"]
+    if a["has_id"] != b["has_id"]:
+        return -1 if not a["has_id"] else 1
+    if a["has_id"] and a["id"] != b["id"]:
+        return -1 if a["id"] < b["id"] else 1
+    ka = list(zip(a["keys"], a["vtypes"], a["values"]))
+    kb = list(zip(b["keys"], b["vtypes"], b["values"]))
+    if ka != kb:
+        return -1 if ka < kb else 1
+    return 0
+
+
+def _coal_sort_key(p):
+    return (p["t"], p["index"])
+
+
+def _reorder_lines(ops, xs, ys, cfg):
+    """reorder_lines (geometry.cpp:859-898)."""
+    from ..core.projection import encode_hilbert, encode_quadkey
+
+    if len(ops) == 0:
+        return ops, xs, ys
+    if ops[0] != g.OP_MOVETO or (ops[1:] != g.OP_LINETO).any():
+        return ops, xs, ys
+    enc = encode_hilbert if cfg.use_hilbert else encode_quadkey
+    l1 = int(enc(np.uint64(xs[0]), np.uint64(ys[0]))[()])
+    l2 = int(enc(np.uint64(xs[-1]), np.uint64(ys[-1]))[()])
+    if l1 > l2:
+        ops2 = ops[::-1].copy()
+        ops2[0] = g.OP_MOVETO
+        ops2[-1] = g.OP_LINETO
+        return ops2, xs[::-1].copy(), ys[::-1].copy()
+    return ops, xs, ys
+
+
+def _clean_poly(ops, xs, ys):
+    """Stand-in for clean_or_clip_poly (wagyu snap-round union,
+    geometry.cpp:223-325): remove degenerate rings and noop points.
+
+    For polygons that are valid after clipping (the overwhelmingly common
+    case in the reference's own fixtures) wagyu's union is the identity
+    up to ring ordering; we reproduce that path.  Self-intersection
+    repair is NOT implemented (risk register: SURVEY.md §7.1).
+    """
+    ops, xs, ys = g.remove_noop(ops, xs, ys, g.VT_POLYGON, 0)
+    out_op, out_x, out_y = [], [], []
+    for i, j in g._rings(ops):
+        # drop unclosed-degenerate and zero-area rings
+        if j - i < 3:
+            continue
+        area = g.get_area(xs, ys, i, j)
+        if area == 0:
+            continue
+        out_op.extend([g.OP_MOVETO] + [g.OP_LINETO] * (j - i - 1))
+        out_x.extend(int(v) for v in xs[i:j])
+        out_y.extend(int(v) for v in ys[i:j])
+        # wagyu emits closed rings
+        if xs[i] != xs[j - 1] or ys[i] != ys[j - 1]:
+            out_op.append(g.OP_LINETO)
+            out_x.append(int(xs[i]))
+            out_y.append(int(ys[i]))
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64),
+        np.asarray(out_y, dtype=np.int64),
+    )
+
+
+def _revive_polygon(ops, xs, ys, area, z, detail):
+    """revive_polygon (tile.cpp:397-436)."""
+    divisor = 1 << (32 - detail - z)
+    area = area / (divisor * divisor)
+    if area == 0:
+        return ops[:0], xs[:0], ys[:0]
+    height = math.ceil(math.sqrt(area))
+    width = round(area / height) if height else 0
+    if width == 0:
+        width = 1
+    m = ops != g.OP_CLOSEPATH
+    n = int(m.sum())
+    if n == 0:
+        return ops[:0], xs[:0], ys[:0]
+    def _cdiv(a, b):  # C division truncates toward zero
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    sx = _cdiv(int(xs[m].sum()), n)
+    sy = _cdiv(int(ys[m].sum()), n)
+    w2 = width // 2
+    h2 = height // 2
+    pts = [
+        (g.OP_MOVETO, sx - w2, sy - h2),
+        (g.OP_LINETO, sx - w2 + width, sy - h2),
+        (g.OP_LINETO, sx - w2 + width, sy - h2 + height),
+        (g.OP_LINETO, sx - w2, sy - h2 + height),
+        (g.OP_LINETO, sx - w2, sy - h2),
+    ]
+    return (
+        np.asarray([p[0] for p in pts], dtype=np.uint8),
+        np.asarray([p[1] for p in pts], dtype=np.int64),
+        np.asarray([p[2] for p in pts], dtype=np.int64),
+    )
