@@ -1,0 +1,71 @@
+"""Golden parity tests: build reference fixtures with the compiled
+reference binary and with our engine; decoded tilesets must match
+structurally and byte-for-byte (reference pattern: Makefile:90-95)."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import (
+    REF_TESTS,
+    assert_tilesets_equal,
+    requires_reference,
+    run_ours,
+    run_reference,
+)
+
+# require_bytes=False + canonical rings: polygon fixtures — wagyu's
+# sweep-dependent ring start vertex is not reproduced (SURVEY.md §7.1);
+# ring cycles, orientation, coordinates, and tile assignment still match.
+CASES = [
+    # (fixture file, layer, options, require byte equality)
+    ("minzoom/in.json", "in", "-z6", True),
+    ("onefeature/in.json", "in", "-z3", True),
+    ("nullisland/in.json", "in", "-z5", False),
+    ("minzoom/in.json", "in", "-z8 -Z2", True),
+    ("minzoom/in.json", "in", "-z6 -r1", True),
+    ("minzoom/in.json", "in", "-z6 -B4", True),
+    ("high-longitude/in.json", "in", "-z4", True),
+    ("stringid/in.json", "in", "-z2", True),
+    ("nonascii/@@@.json", None, "-z2", True),
+    ("attribute-type/in.json", "in", "-z2", True),
+    ("multilinestring/in.json", "in", "-z5", True),
+    ("polygon-winding/in.json", "in", "-z3", False),
+    ("highzoom/in.json", "in", "-z14", True),
+    ("muni/muni.json", "muni", "-z11 -Z11", True),
+    ("muni/muni.json", "muni", "-z8", True),
+    ("accumulate/in.json", "in", "-z4 -E thesum:sum -E themax:max", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8", True),
+]
+
+
+@requires_reference
+@pytest.mark.parametrize("fixture,layer,options,require_bytes", CASES,
+                         ids=[f"{c[0].split('/')[0]}:{c[2]}" for c in CASES])
+def test_fixture_parity(fixture, layer, options, require_bytes):
+    path = f"{REF_TESTS}/{fixture}"
+    ref = run_reference(path, options)
+    ours = run_ours(path, options, layer=layer)
+    assert len(ref) > 0
+    assert_tilesets_equal(ref, ours, require_bytes=require_bytes,
+                          canonical_rings=not require_bytes)
+
+
+@requires_reference
+@pytest.mark.xfail(reason="wagyu snap-round UNION of overlapping dateline "
+                          "copies not implemented (SURVEY.md §7.1)", strict=False)
+def test_wraparound_union():
+    path = f"{REF_TESTS}/wraparound/in.json"
+    ref = run_reference(path, "-z4")
+    ours = run_ours(path, "-z4", layer="in")
+    assert_tilesets_equal(ref, ours, require_bytes=False, canonical_rings=True)
+
+
+@requires_reference
+@pytest.mark.xfail(reason="wagyu snap-round union merges rings split by the "
+                          "clip along the shared edge (SURVEY.md §7.1)", strict=False)
+def test_dateline_union():
+    path = f"{REF_TESTS}/dateline/in.json"
+    ref = run_reference(path, "-z5")
+    ours = run_ours(path, "-z5", layer="in")
+    assert_tilesets_equal(ref, ours, require_bytes=False, canonical_rings=True)

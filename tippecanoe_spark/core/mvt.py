@@ -18,7 +18,10 @@ Tile schema: /root/reference/vector_tile.proto.
 
 from __future__ import annotations
 
+import math
 import struct
+
+import numpy as _np
 import zlib
 from dataclasses import dataclass, field
 
@@ -167,7 +170,11 @@ def stringified_to_mvt_value(vt: int, s: str) -> MvtValue:
             d = float(s)
         except ValueError:
             d = 0.0
-        f = struct.unpack("<f", struct.pack("<f", d))[0]
+        # strtof overflow (ERANGE -> HUGE_VALF) falls through to double
+        with _np.errstate(over="ignore"):
+            f = float(_np.float32(d))
+        if math.isinf(f) and not math.isinf(d):
+            return MvtValue(T_DOUBLE, num=d)
         if f == d:
             return MvtValue(T_FLOAT, num=d)
         return MvtValue(T_DOUBLE, num=d)

@@ -37,6 +37,32 @@ GEOM_WITHIN = [-1, 0, 0, 2, 2, 4]
 MB_GEOMETRY = [g.VT_POINT, g.VT_POINT, g.VT_LINE, g.VT_LINE, g.VT_POLYGON, g.VT_POLYGON]
 
 
+def layer_name_from_path(path: str, source_index: int = 0) -> str:
+    """Layer naming from the input filename (main.cpp:1255-1298):
+    basename, repeatedly strip known suffixes, keep only [A-Za-z0-9_]
+    and high-bit (UTF-8 continuation) bytes; fall back to
+    "unknown{index}" when empty or invalid UTF-8."""
+    import os
+
+    trunc = os.path.basename(path.rstrip("/"))
+    again = True
+    while again:
+        again = False
+        for suf in (".json", ".geojson", ".geobuf", ".mbtiles", ".csv", ".gz"):
+            if len(trunc) > len(suf) and trunc.endswith(suf):
+                trunc = trunc[: -len(suf)]
+                again = True
+    raw = trunc.encode("utf-8")
+    keep = bytes(b for b in raw if (chr(b).isalnum() and b < 128) or b == ord("_") or b >= 0x80)
+    try:
+        out = keep.decode("utf-8")
+    except UnicodeDecodeError:
+        return f"unknown{source_index}"
+    if not out:
+        return f"unknown{source_index}"
+    return out
+
+
 class RawNumber(str):
     """JSON number with its source text preserved (jsonpull keeps both
     the text and the parsed double; we subclass str for the text and
@@ -63,12 +89,16 @@ def stringify_number(raw: RawNumber) -> str:
     return dtoa_milo(raw.number)
 
 
+class _CanonNumber(str):
+    """Canonicalized number text — emitted unquoted by the stringifier."""
+
+
 def _canonicalize(value):
     """canonicalize() (read_json.cpp:106-130) — rewrite numbers in nested
     values, then stringify compactly (jsonpull json_stringify format:
     ',' / ':' separators, minimal escaping)."""
     if isinstance(value, RawNumber):
-        return stringify_number(value)
+        return _CanonNumber(stringify_number(value))
     if isinstance(value, dict):
         return {k: _canonicalize(v) for k, v in value.items()}
     if isinstance(value, list):
@@ -77,6 +107,8 @@ def _canonicalize(value):
 
 
 def _stringify_compact(value) -> str:
+    if isinstance(value, _CanonNumber):
+        return str(value)
     if isinstance(value, str):
         out = ['"']
         for c in value:
@@ -115,6 +147,48 @@ def stringify_value(value):
         return T_NULL, "null"
     # nested object/array -> canonicalized JSON text, typed string
     return T_STRING, _stringify_compact(_canonicalize(value))
+
+
+def _lenient_objects(text: str):
+    """Extract balanced JSON objects from a possibly-truncated stream,
+    outermost-first, skipping objects nested inside an already-extracted
+    one.  Mirrors jsonpull's behavior of processing each object the
+    moment it completes (the enclosing unterminated object never
+    completes, so only inner complete objects are seen)."""
+    spans = []
+    stack = []
+    in_str = False
+    esc = False
+    for i, c in enumerate(text):
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "{":
+            stack.append(i)
+        elif c == "}":
+            if stack:
+                start = stack.pop()
+                spans.append((start, i + 1, len(stack)))
+    # keep outermost completed spans (those not nested in another
+    # completed span)
+    spans.sort()
+    out = []
+    last_end = -1
+    for start, end, _depth in spans:
+        if start >= last_end:
+            try:
+                out.append(_parse_json(text[start:end]))
+                last_end = end
+            except json.JSONDecodeError:
+                continue
+    return out
 
 
 def parse_geometry(gtype: int, coords, out: list, op: int = g.OP_MOVETO) -> None:
@@ -199,11 +273,17 @@ def feature_records(text: str, layer: str, cfg: TileConfig, seq_start: int = 0):
         j = _parse_json(stripped)
         objs.append(j)
     except json.JSONDecodeError:
-        for line in stripped.replace("\x1e", "\n").splitlines():
-            line = line.strip().rstrip(",")
-            if not line:
-                continue
-            objs.append(_parse_json(line))
+        try:
+            for line in stripped.replace("\x1e", "\n").splitlines():
+                line = line.strip().rstrip(",")
+                if not line:
+                    continue
+                objs.append(_parse_json(line))
+        except json.JSONDecodeError:
+            # jsonpull-style recovery: emit every balanced object that
+            # completes, even inside unterminated containers
+            # (tests/onefeature; geojson-loop.cpp semantics)
+            objs = _lenient_objects(stripped)
 
     feats = []
 
@@ -244,8 +324,8 @@ def feature_records(text: str, layer: str, cfg: TileConfig, seq_start: int = 0):
             continue
 
         tc = fobj.get("tippecanoe", {}) or {}
-        tp_minzoom = int(tc["minzoom"]) if "minzoom" in tc else -1
-        tp_maxzoom = int(tc["maxzoom"]) if "maxzoom" in tc else -1
+        tp_minzoom = int(float(tc["minzoom"])) if "minzoom" in tc else -1
+        tp_maxzoom = int(float(tc["maxzoom"])) if "maxzoom" in tc else -1
         layername = tc.get("layer", layer)
 
         has_id, fid = parse_feature_id(fobj.get("id"), cfg.convert_stringified_ids)
@@ -348,11 +428,12 @@ def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
         if extent < 1:
             extent = 1
 
-    # spatial index of bbox midpoint (serial.cpp:554-566)
-    if cfg.uses_index:
-        ix = int(bbox_index(bbox[0], bbox[1], bbox[2], bbox[3], cfg.use_hilbert)[()])
-    else:
-        ix = 0
+    # spatial index of bbox midpoint (serial.cpp:554-560).  The index
+    # RECORD always carries the real quadkey (serial.cpp:678: index.ix =
+    # bbox_index) — the global sort is always spatial.  Only the
+    # in-feature index (used by gap/cluster logic inside tiles) is gated
+    # by cfg.uses_index; the tiler applies that gate.
+    ix = int(bbox_index(bbox[0], bbox[1], bbox[2], bbox[3], cfg.use_hilbert)[()])
 
     # attribute include/exclude (serial.cpp:630-641)
     fkeys, fvtypes, fvalues = [], [], []

@@ -78,8 +78,56 @@ def decode_tileset(tiles: dict) -> dict:
     return out
 
 
-def diff_tilesets(a: dict, b: dict, max_diffs: int = 10) -> list:
+def canonicalize_rings(layers: list) -> list:
+    """Rotate every polygon ring's vertex cycle to a canonical start so
+    tilesets can be compared up to wagyu's sweep-dependent ring start
+    vertex (clean_or_clip_poly rebuilds rings from its scanline sweep;
+    the cycle and orientation are deterministic, the start is not —
+    SURVEY.md §7.1)."""
+    out = []
+    for L in layers:
+        L2 = dict(L)
+        feats = []
+        for f in L2["features"]:
+            f2 = dict(f)
+            if f2["type"] == 3:
+                rings = []
+                cur = []
+                for op, x, y in f2["geometry"]:
+                    if op == 1 and cur:
+                        rings.append(cur)
+                        cur = []
+                    if op == 7:
+                        cur.append((7, 0, 0))
+                        rings.append(cur)
+                        cur = []
+                    else:
+                        cur.append((op, x, y))
+                if cur:
+                    rings.append(cur)
+                canon = []
+                for ring in rings:
+                    closed = ring[-1][0] == 7
+                    pts = [(x, y) for op, x, y in ring if op != 7]
+                    # drop duplicated closing vertex for rotation
+                    if len(pts) > 1 and pts[0] == pts[-1]:
+                        pts = pts[:-1]
+                    if pts:
+                        k = min(range(len(pts)), key=lambda i: pts[i])
+                        pts = pts[k:] + pts[:k]
+                    canon.append((tuple(pts), closed))
+                f2["geometry"] = tuple(canon)
+            feats.append(f2)
+        L2["features"] = feats
+        out.append(L2)
+    return out
+
+
+def diff_tilesets(a: dict, b: dict, max_diffs: int = 10, canonical_rings: bool = False) -> list:
     """Structural diff of two decoded tilesets; [] means identical."""
+    if canonical_rings:
+        a = {k: canonicalize_rings(v) for k, v in a.items()}
+        b = {k: canonicalize_rings(v) for k, v in b.items()}
     diffs = []
     for key in sorted(set(a) | set(b)):
         if key not in a:

@@ -218,12 +218,18 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
         if row["tp_maxzoom"] != -1 and z > row["tp_maxzoom"]:
             continue
 
+        # NOTE: no empty-geometry skip here — the reference runs features
+        # whose geometry clipped away through the whole drop ladder so
+        # their attributes still fold into survivors (write_tile has no
+        # geometry.size() check before the ladder; the len>0 guard at
+        # partial creation is the only one).
         dropped = row["tp_minzoom"] == -1 and z < row["fmz"]
 
-        if len(ops) == 0:
-            continue
-
-        sf_index = np.uint64(np.int64(row["ix"])).item() if row["ix"] else 0
+        # sf.index is 0 unless a gap/cluster/density mode needs it
+        # (serial.cpp:562-566); the row's ix is always the real quadkey
+        # because the global sort uses it (serial.cpp:678)
+        ixv = int(row["ix"])
+        sf_index = (ixv if ixv >= 0 else ixv + (1 << 64)) if cfg.uses_index else 0
         sf_extent = row["extent"]
 
         # drop ladder (tile.cpp:1870-2004)
@@ -330,9 +336,15 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
                 "t": t,
                 "seq": row["seq"],
                 "reduced": reduced,
+                # pooled attrs keep input order; accumulated attrs get
+                # promoted to full_* (appended) — preserve_attribute,
+                # tile.cpp:1576-1591
                 "keys": list(row["keys"]),
                 "vtypes": list(row["vtypes"]),
                 "values": list(row["values"]),
+                "full_keys": [],
+                "full_vtypes": [],
+                "full_values": [],
                 "spacing": spacing,
                 "id": row["id"],
                 "has_id": row["has_id"],
@@ -348,15 +360,15 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
     # cluster attributes (tile.cpp:2025-2052)
     for p in partials:
         if p["clustered"] > 0:
-            p["keys"].append("clustered")
-            p["vtypes"].append(M.T_BOOL)
-            p["values"].append("true")
-            p["keys"].append("point_count")
-            p["vtypes"].append(M.T_DOUBLE)
-            p["values"].append(_cpp_to_string_int(p["clustered"] + 1))
-            p["keys"].append("sqrt_point_count")
-            p["vtypes"].append(M.T_DOUBLE)
-            p["values"].append(_cpp_to_string_double(round(100 * math.sqrt(p["clustered"] + 1)) / 100.0))
+            p["full_keys"].append("clustered")
+            p["full_vtypes"].append(M.T_BOOL)
+            p["full_values"].append("true")
+            p["full_keys"].append("point_count")
+            p["full_vtypes"].append(M.T_DOUBLE)
+            p["full_values"].append(_cpp_to_string_int(p["clustered"] + 1))
+            p["full_keys"].append("sqrt_point_count")
+            p["full_vtypes"].append(M.T_DOUBLE)
+            p["full_values"].append(_cpp_to_string_double(round(100 * math.sqrt(p["clustered"] + 1)) / 100.0))
 
     # simplification worker (partial_feature_worker, tile.cpp:438-528)
     finished = []
@@ -479,7 +491,11 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
             ]
             feature.id = c["id"]
             feature.has_id = bool(c["has_id"])
-            for k, vt, sv in zip(c["keys"], c["vtypes"], c["values"]):
+            for k, vt, sv in zip(
+                list(c["keys"]) + list(c.get("full_keys", [])),
+                list(c["vtypes"]) + list(c.get("full_vtypes", [])),
+                list(c["values"]) + list(c.get("full_values", [])),
+            ):
                 if vt == M.T_NULL:
                     continue
                 layer.tag(feature, k, M.stringified_to_mvt_value(vt, sv))
@@ -548,48 +564,63 @@ def _preserve_attributes(accumulate: dict, row, partial):
 
 
 def _fold_attribute(partial, key, vtype, sval, op):
-    keys = partial["keys"]
-    vtypes = partial["vtypes"]
-    values = partial["values"]
-    try:
-        i = keys.index(key)
-    except ValueError:
-        keys.append(key)
-        vtypes.append(vtype)
-        values.append(sval)
-        return
-    if op == "sum":
-        values[i] = _fmt_num(float(values[i]) + float(sval))
-        vtypes[i] = M.T_DOUBLE
-    elif op == "product":
-        values[i] = _fmt_num(float(values[i]) * float(sval))
-        vtypes[i] = M.T_DOUBLE
-    elif op == "max":
-        values[i] = _fmt_num(max(float(values[i]), float(sval)))
-        vtypes[i] = M.T_DOUBLE
-    elif op == "min":
-        values[i] = _fmt_num(min(float(values[i]), float(sval)))
-        vtypes[i] = M.T_DOUBLE
-    elif op == "mean":
-        st = partial["accum_state"].setdefault(key, {"sum": float(values[i]), "count": 1})
-        st["sum"] += float(sval)
-        st["count"] += 1
-        values[i] = _fmt_num(st["sum"] / st["count"])
-        vtypes[i] = M.T_DOUBLE
-    elif op == "concat":
-        values[i] = values[i] + sval
-        vtypes[i] = M.T_STRING
-    elif op == "comma":
-        values[i] = values[i] + "," + sval
-        vtypes[i] = M.T_STRING
-
-
-def _fmt_num(v: float) -> str:
+    """preserve_attribute (tile.cpp:1569-1656): promote the key from the
+    pooled list to full_*, then fold with milo dtoa formatting."""
     from ..core.dtoa import dtoa_milo
 
-    if v == int(v) and abs(v) < (1 << 63):
-        return str(int(v))
-    return dtoa_milo(v)
+    # promote pooled attr to full (erased from pool, appended to full)
+    try:
+        i = partial["keys"].index(key)
+        partial["full_keys"].append(key)
+        partial["full_vtypes"].append(partial["vtypes"][i])
+        partial["full_values"].append(partial["values"][i])
+        del partial["keys"][i]
+        del partial["vtypes"][i]
+        del partial["values"][i]
+    except ValueError:
+        pass
+
+    fk, fvt, fv = partial["full_keys"], partial["full_vtypes"], partial["full_values"]
+    for i in range(len(fk)):
+        if fk[i] != key:
+            continue
+        if op == "sum":
+            fv[i] = dtoa_milo(_atof(fv[i]) + _atof(sval))
+            fvt[i] = M.T_DOUBLE
+        elif op == "product":
+            fv[i] = dtoa_milo(_atof(fv[i]) * _atof(sval))
+            fvt[i] = M.T_DOUBLE
+        elif op == "max":
+            if _atof(sval) > _atof(fv[i]):
+                fv[i] = sval
+                fvt[i] = M.T_DOUBLE
+        elif op == "min":
+            if _atof(sval) < _atof(fv[i]):
+                fv[i] = sval
+                fvt[i] = M.T_DOUBLE
+        elif op == "mean":
+            st = partial["accum_state"].get(key)
+            if st is None:
+                st = {"sum": _atof(fv[i]) + _atof(sval), "count": 2}
+                partial["accum_state"][key] = st
+            else:
+                st["sum"] += _atof(sval)
+                st["count"] += 1
+            fv[i] = dtoa_milo(st["sum"] / st["count"])
+        elif op == "concat":
+            fv[i] = fv[i] + sval
+            fvt[i] = M.T_STRING
+        elif op == "comma":
+            fv[i] = fv[i] + "," + sval
+            fvt[i] = M.T_STRING
+
+
+def _atof(s: str) -> float:
+    """C atof: parse a double prefix, 0.0 on failure."""
+    import re
+
+    m = re.match(r"\s*[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|inf(inity)?|nan)", s, re.I)
+    return float(m.group(0)) if m else 0.0
 
 
 def _coalcmp(a, b):
@@ -602,8 +633,8 @@ def _coalcmp(a, b):
         return -1 if not a["has_id"] else 1
     if a["has_id"] and a["id"] != b["id"]:
         return -1 if a["id"] < b["id"] else 1
-    ka = list(zip(a["keys"], a["vtypes"], a["values"]))
-    kb = list(zip(b["keys"], b["vtypes"], b["values"]))
+    ka = list(zip(a["keys"] + a.get("full_keys", []), a["vtypes"] + a.get("full_vtypes", []), a["values"] + a.get("full_values", [])))
+    kb = list(zip(b["keys"] + b.get("full_keys", []), b["vtypes"] + b.get("full_vtypes", []), b["values"] + b.get("full_values", [])))
     if ka != kb:
         return -1 if ka < kb else 1
     return 0

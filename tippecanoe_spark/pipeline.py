@@ -46,7 +46,7 @@ def _eligible_mask(t: np.ndarray, cfg: TileConfig) -> np.ndarray:
 
 def assign_minzoom_local(features: list, cfg: TileConfig, mode: str = "exact") -> None:
     """Sort features by (ix, seq) and set fmz in place."""
-    features.sort(key=lambda f: (np.uint64(np.int64(f["ix"])).item(), f["seq"]))
+    features.sort(key=lambda f: (f["ix"] if f["ix"] >= 0 else f["ix"] + (1 << 64), f["seq"]))
     ts = np.asarray([f["t"] for f in features], dtype=np.int8)
     elig = _eligible_mask(ts, cfg)
     n_elig = int(elig.sum())
@@ -78,7 +78,7 @@ def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exac
     for z in range(0, cfg.maxzoom + 1):
         nxt = {}
         for (tx, ty), rows in sorted(current.items()):
-            rows.sort(key=lambda f: (np.uint64(np.int64(f["ix"])).item(), f["seq"]))
+            rows.sort(key=lambda f: (f["ix"] if f["ix"] >= 0 else f["ix"] + (1 << 64), f["seq"]))
             tile_bytes, children, _stats = process_tile(rows, z, tx, ty, cfg)
             if tile_bytes is not None and z >= cfg.minzoom:
                 tiles[(z, tx, ty)] = tile_bytes
