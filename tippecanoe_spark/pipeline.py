@@ -260,6 +260,9 @@ def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ran
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     df = df.repartitionByRange(n_part, "_sort_ix", "seq")
     df = df.withColumn("_pid", F.spark_partition_id())
+    # persist: range boundaries come from sampling, so the partitioning
+    # must not be recomputed between the offsets action and the ranks
+    df = df.persist()
 
     counts = (
         df.filter("_elig").groupBy("_pid").count().collect()
