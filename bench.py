@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries + flagship tile build.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: tiles/sec + features/sec for the end-to-end page->tileset
+build (the BASELINE.json north-rule metric), measured on the synthetic
+Common-Crawl-style page table (no external data).
+
+`python bench.py --scaling` additionally re-runs the tile build at
+local[N] and local[4N] in separate JVMs and reports throughput scaling
+efficiency (sandbox stand-in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "tile_assign_z10",
+    "quadkey",
+    "feature_minzoom",
+    "zoom_rollup",
+    "center_tile",
+    "attr_join",
+    "drop_fraction",
+    "tilestats",
+    "dedup_exact",
+    "token_count",
+    "minhash_bands",
+    "ann_cosine_topk",
+    "events_hourly",
+    "tpch_q1ish",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def pages_for_sf(sf: float) -> int:
+    # ~60k lineitem rows per 0.01 SF; page count scaled to keep the tile
+    # build the dominant (headline) workload
+    return max(int(200000 * sf), 500)
+
+
+def run_tile_build(spark, n_pages: int, maxzoom: int = 9):
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.pages import extract_features_df, pages_df
+    from tippecanoe_spark.pipeline import build_tiles
+
+    cfg = TileConfig(maxzoom=maxzoom)
+    pages = pages_df(spark, n_pages, seed=42)
+    feats = extract_features_df(spark, pages, cfg).persist()
+    n_feats = feats.count()
+    tiles = build_tiles(spark, feats, cfg)
+    t0 = time.time()
+    n_tiles = tiles.count()
+    dt = time.time() - t0
+    feats.unpersist()
+    return n_tiles, n_feats, dt
+
+
+def tile_build_bench(master: str, n_pages: int, maxzoom: int = 9):
+    """Full build incl. extraction, isolated timing."""
+    from tippecanoe_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-{master}", master=master)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = time.time()
+    n_tiles, n_feats, _ = run_tile_build(spark, n_pages, maxzoom)
+    dt = time.time() - t0
+    spark.stop()
+    return {"tiles": n_tiles, "features": n_feats, "seconds": dt,
+            "tiles_per_sec": n_tiles / dt, "features_per_sec": n_feats / dt}
+
+
+def main():
+    if "--scaling-worker" in sys.argv:
+        # child process: one parallelism level, print one json line
+        master = sys.argv[sys.argv.index("--scaling-worker") + 1]
+        n_pages = int(sys.argv[sys.argv.index("--scaling-worker") + 2])
+        print(json.dumps(tile_build_bench(master, n_pages)))
+        return
+
+    import __spark_entry__ as entrymod
+    from tippecanoe_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app="bench", master=f"local[{CPUS}]")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    qtimes = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    # flagship end-to-end tile build (pages -> extract -> pyramid)
+    n_pages = pages_for_sf(sf if sf > 0 else 0.1)
+    t0 = time.time()
+    n_tiles, n_feats, _ = run_tile_build(spark, n_pages)
+    build_s = round(time.time() - t0, 3)
+    qtimes["tile_build"] = build_s
+    spark.stop()
+
+    total = round(sum(qtimes.values()), 3)
+    out = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "tile_build": {
+            "pages": n_pages,
+            "features": n_feats,
+            "tiles": n_tiles,
+            "seconds": build_s,
+            "tiles_per_sec": round(n_tiles / build_s, 2),
+            "features_per_sec": round(n_feats / build_s, 2),
+        },
+    }
+
+    if "--scaling" in sys.argv:
+        lo = max(CPUS // 4, 2)
+        res = {}
+        for m in (lo, CPUS):
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", f"local[{m}]", str(n_pages)],
+                capture_output=True, text=True, check=True,
+            )
+            res[m] = json.loads(r.stdout.strip().splitlines()[-1])
+        eff = (res[CPUS]["tiles_per_sec"] / res[lo]["tiles_per_sec"]) / (CPUS / lo)
+        out["scaling"] = {
+            "n_cores": lo,
+            "n4_cores": CPUS,
+            "throughput_n": round(res[lo]["tiles_per_sec"], 2),
+            "throughput_4n": round(res[CPUS]["tiles_per_sec"], 2),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

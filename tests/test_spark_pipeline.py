@@ -1,0 +1,73 @@
+"""Spark cascade vs local runner: byte-identical tilesets, and the
+determinism/parallelism-invariance oracle (reference parallel-test
+pattern, Makefile:114-139)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tippecanoe_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def _muni_feats(cfg):
+    from tippecanoe_spark.io.geojson import feature_records
+
+    return feature_records(
+        open("/root/reference/tests/muni/muni.json").read(), "muni", cfg)
+
+
+def test_spark_matches_local_bytes(spark):
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
+
+    cfg = TileConfig(maxzoom=8)
+    feats = _muni_feats(cfg)
+    local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+    df = spark.createDataFrame(features_to_pdf(feats))
+    got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+           for r in build_tiles(spark, df, cfg).collect()}
+    assert got == local_tiles
+
+
+def test_zoom_batch_invariance(spark):
+    """Different shuffle structure (zoom batching) must not change a
+    single byte of output."""
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.pipeline import build_tiles, features_to_pdf
+
+    cfg = TileConfig(maxzoom=6)
+    feats = _muni_feats(cfg)
+    df = spark.createDataFrame(features_to_pdf(feats)).persist()
+    outs = []
+    for zb in (1, 3, 7):
+        got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+               for r in build_tiles(spark, df, cfg, zoom_batch=zb).collect()}
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pages_extract_and_text_invariant(spark):
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.pages import (
+        extract_features_df,
+        pages_df,
+        verify_text_invariant,
+    )
+
+    cfg = TileConfig(maxzoom=4)
+    pages = pages_df(spark, 300, seed=42).persist()
+    assert pages.count() == 300
+    assert verify_text_invariant(spark, pages) == 0
+    feats = extract_features_df(spark, pages, cfg)
+    assert feats.count() == 300

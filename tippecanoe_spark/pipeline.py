@@ -100,7 +100,7 @@ FEATURE_SCHEMA_DDL = (
     "values array<string>, ops binary, xs array<long>, ys array<long>"
 )
 
-STAGE_SCHEMA_DDL = FEATURE_SCHEMA_DDL + ", kind tinyint, tile binary"
+STAGE_SCHEMA_DDL = FEATURE_SCHEMA_DDL + ", kind tinyint, z int, tile binary"
 
 
 def features_to_pdf(features: list) -> pd.DataFrame:
@@ -181,59 +181,83 @@ def _empty_stage_pdf() -> pd.DataFrame:
     })
 
 
-def _make_zoom_processor(z: int, cfg: TileConfig):
-    """Group function for applyInPandas at zoom z: emits child rows
-    (kind=0) and at most one tile row (kind=1) per group."""
+def _sort_rows_by_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Order tiles, then the global (ix, seq) order within each tile
+    (ix compared as unsigned: indexcmp, main.cpp:223)."""
+    order = np.lexsort((
+        pdf["seq"].to_numpy(),
+        pdf["ix"].to_numpy().astype(np.uint64),
+        pdf["tile_y"].to_numpy(),
+        pdf["tile_x"].to_numpy(),
+    ))
+    return pdf.iloc[order]
+
+
+def _make_batch_processor(z_start: int, z_end: int, cfg: TileConfig):
+    """Group function processing zooms [z_start, z_end] in one shot.
+
+    A group is a shard of z_start tiles.  Because rewrite() confines a
+    feature's children to its own parent's sub-tiles (tile.cpp:296-298:
+    xo, yo are clamped within the parent's span), a tile's whole subtree
+    is reachable without any cross-group data — so multiple zoom levels
+    run per shuffle, a mini version of build_tiles_local per subtree.
+
+    Emits tile rows (kind=1, with z) and frontier child rows for
+    z_end + 1 (kind=0)."""
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(key[0]), int(key[1])
-        # global (ix, seq) order: ix as unsigned (indexcmp, main.cpp:223)
-        order = np.lexsort((
-            pdf["seq"].to_numpy(),
-            pdf["ix"].to_numpy().astype(np.uint64),
-        ))
-        pdf = pdf.iloc[order]
-        rows = _pdf_rows_to_dicts(pdf)
-        tile_bytes, children, _stats = process_tile(rows, z, tx, ty, cfg)
-
-        out = _empty_stage_pdf()
+        pdf = pdf.drop(columns=["_shard"])
         recs = []
-        for ch in children:
-            recs.append({
-                "tile_x": ch["tile_x"],
-                "tile_y": ch["tile_y"],
-                "layer": ch["layer"],
-                "seq": ch["seq"],
-                "t": ch["t"],
-                "has_id": ch["has_id"],
-                "id": np.int64(np.uint64(ch["id"] % (1 << 64))),
-                "tp_minzoom": ch["tp_minzoom"],
-                "tp_maxzoom": ch["tp_maxzoom"],
-                "fmz": ch["fmz"],
-                "ix": ch["ix"],
-                "extent": ch["extent"],
-                "keys": list(ch["keys"]),
-                "vtypes": list(ch["vtypes"]),
-                "values": list(ch["values"]),
-                "ops": np.asarray(ch["ops"], dtype=np.uint8).tobytes(),
-                "xs": np.asarray(ch["xs"], dtype=np.int64),
-                "ys": np.asarray(ch["ys"], dtype=np.int64),
-                "kind": 0,
-                "tile": None,
-            })
-        if tile_bytes is not None and z >= cfg.minzoom:
-            recs.append({
-                "tile_x": tx, "tile_y": ty, "layer": "", "seq": 0, "t": 0,
-                "has_id": False, "id": 0, "tp_minzoom": -1, "tp_maxzoom": -1,
-                "fmz": 0, "ix": 0, "extent": 0, "keys": [], "vtypes": [],
-                "values": [], "ops": b"", "xs": [], "ys": [],
-                "kind": 1, "tile": tile_bytes,
-            })
+        current = _rows_by_tile(_sort_rows_by_tile(pdf))
+        for z in range(z_start, z_end + 1):
+            nxt = {}
+            for (tx, ty), rows in sorted(current.items()):
+                rows.sort(key=lambda f: (
+                    f["ix"] + (1 << 64) if f["ix"] < 0 else f["ix"], f["seq"]))
+                tile_bytes, children, _stats = process_tile(rows, z, tx, ty, cfg)
+                if tile_bytes is not None and z >= cfg.minzoom:
+                    recs.append((
+                        tx, ty, "", 0, 0, False, 0, -1, -1, 0, 0, 0,
+                        [], [], [], b"", [], [], 1, z, tile_bytes,
+                    ))
+                for ch in children:
+                    nxt.setdefault((ch.pop("tile_x"), ch.pop("tile_y")), []).append(ch)
+            current = nxt
+            if not current:
+                break
+        # frontier rows continue at z_end + 1
+        for (tx, ty), rows in current.items():
+            for ch in rows:
+                recs.append((
+                    tx, ty, ch["layer"], ch["seq"], ch["t"],
+                    ch["has_id"], np.int64(np.uint64(ch["id"] % (1 << 64))),
+                    ch["tp_minzoom"], ch["tp_maxzoom"], ch["fmz"], ch["ix"],
+                    ch["extent"], ch["keys"], ch["vtypes"], ch["values"],
+                    np.asarray(ch["ops"], dtype=np.uint8).tobytes(),
+                    ch["xs"], ch["ys"], 0, 0, None,
+                ))
         if not recs:
-            return out
-        return pd.DataFrame(recs)
+            return _empty_stage_pdf()
+        return pd.DataFrame.from_records(recs, columns=_STAGE_COLUMNS)
 
     return fn
+
+
+def _rows_by_tile(pdf: pd.DataFrame) -> dict:
+    rows = _pdf_rows_to_dicts(pdf)
+    txs = pdf["tile_x"].to_numpy()
+    tys = pdf["tile_y"].to_numpy()
+    out = {}
+    for i, r in enumerate(rows):
+        out.setdefault((int(txs[i]), int(tys[i])), []).append(r)
+    return out
+
+
+_STAGE_COLUMNS = [
+    "tile_x", "tile_y", "layer", "seq", "t", "has_id", "id", "tp_minzoom",
+    "tp_maxzoom", "fmz", "ix", "extent", "keys", "vtypes", "values", "ops",
+    "xs", "ys", "kind", "z", "tile",
+]
 
 
 def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ranks: int = 5_000_000):
@@ -328,37 +352,46 @@ def _eligible_col(df, cfg: TileConfig):
 
 
 def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact",
-                checkpoint_dir: str | None = None):
+                checkpoint_dir: str | None = None, zoom_batch: int = 4):
     """Spark zoom-cascade build.  features_df must have FEATURE_SCHEMA_DDL
     columns (see features_to_pdf / sources).  Returns a DataFrame
-    (z int, x long, y long, tile binary)."""
+    (z int, x long, y long, tile binary).
+
+    One shuffle per ``zoom_batch`` zoom levels (subtree locality makes
+    batching exact); shard count mirrors TEMP_FILES (main.cpp:217-220)."""
     from pyspark.sql import functions as F
 
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
 
+    n_shards = max(spark.sparkContext.defaultParallelism * 4, 8)
+
     tile_dfs = []
     current = df
-    for z in range(0, cfg.maxzoom + 1):
-        fn = _make_zoom_processor(z, cfg)
+    z = 0
+    while z <= cfg.maxzoom:
+        z_end = min(z + zoom_batch - 1, cfg.maxzoom)
+        fn = _make_batch_processor(z, z_end, cfg)
+        shard = F.pmod(F.hash("tile_x", "tile_y"), F.lit(n_shards))
         stage = (
-            current.groupBy("tile_x", "tile_y")
+            current.withColumn("_shard", shard)
+            .groupBy("_shard")
             .applyInPandas(fn, schema=STAGE_SCHEMA_DDL)
         )
-        # One pass computes both outputs; persist to avoid recomputation
         stage = stage.persist()
         tiles_z = (
             stage.filter(F.col("kind") == 1)
             .select(
-                F.lit(z).alias("z"),
+                F.col("z"),
                 F.col("tile_x").alias("x"),
                 F.col("tile_y").alias("y"),
                 F.col("tile"),
             )
         )
         tile_dfs.append(tiles_z)
-        current = stage.filter(F.col("kind") == 0).drop("kind", "tile")
+        current = stage.filter(F.col("kind") == 0).drop("kind", "z", "tile")
         if checkpoint_dir is not None:
             current = current.checkpoint(eager=False)
+        z = z_end + 1
 
     out = tile_dfs[0]
     for t in tile_dfs[1:]:
