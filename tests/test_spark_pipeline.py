@@ -40,21 +40,22 @@ def test_spark_matches_local_bytes(spark):
     assert got == local_tiles
 
 
-def test_zoom_batch_invariance(spark):
-    """Different shuffle structure (zoom batching) must not change a
-    single byte of output."""
+def test_partitioning_invariance(spark):
+    """Different input partitioning must not change a single byte of
+    output (reference parallel-test pattern)."""
     from tippecanoe_spark.config import TileConfig
     from tippecanoe_spark.pipeline import build_tiles, features_to_pdf
 
     cfg = TileConfig(maxzoom=6)
     feats = _muni_feats(cfg)
-    df = spark.createDataFrame(features_to_pdf(feats)).persist()
+    base = spark.createDataFrame(features_to_pdf(feats))
     outs = []
-    for zb in (1, 3, 7):
+    for parts in (1, 7):
+        df = base.repartition(parts)
         got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
-               for r in build_tiles(spark, df, cfg, zoom_batch=zb).collect()}
+               for r in build_tiles(spark, df, cfg).collect()}
         outs.append(got)
-    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == outs[1]
 
 
 def test_pages_extract_and_text_invariant(spark):

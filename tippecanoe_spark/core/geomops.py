@@ -77,51 +77,75 @@ def remove_noop(op, x, y, t: int, shift: int = 0):
     n = len(op)
     if n == 0:
         return op, x, y
-    # pass 1: remove empty linetos
-    keep = np.ones(n, dtype=bool)
-    px = py = 0
-    have = False
-    for i in range(n):
-        o = op[i]
-        if o == OP_LINETO and have and (x[i] >> shift) == px and (y[i] >> shift) == py:
-            keep[i] = False
-            continue
-        if o != OP_CLOSEPATH:
-            px, py = x[i] >> shift, y[i] >> shift
-            have = True
+    # pass 1: remove empty linetos.  Vectorized when there are no
+    # CLOSEPATH ops (the common case): a LINETO is dropped iff it
+    # shift-equals its predecessor; equal-chains compare correctly
+    # element-wise because every element of a chain shares the chain
+    # head's shifted coords.
+    if not (op == OP_CLOSEPATH).any():
+        if n > 1:
+            sx = x >> shift
+            sy = y >> shift
+            drop = (op == OP_LINETO).astype(bool)
+            drop[1:] &= (sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1])
+            drop[0] = False
+            keep = ~drop
+        else:
+            keep = np.ones(n, dtype=bool)
+    else:
+        keep = np.ones(n, dtype=bool)
+        px = py = 0
+        have = False
+        for i in range(n):
+            o = op[i]
+            if o == OP_LINETO and have and (x[i] >> shift) == px and (y[i] >> shift) == py:
+                keep[i] = False
+                continue
+            if o != OP_CLOSEPATH:
+                px, py = x[i] >> shift, y[i] >> shift
+                have = True
     op, x, y = op[keep], x[keep], y[keep]
 
     # pass 2: remove unused movetos
     if t != VT_POINT:
         n = len(op)
-        keep = np.ones(n, dtype=bool)
-        i = 0
-        while i < n:
-            if op[i] == OP_MOVETO:
-                if i + 1 >= n:
-                    keep[i] = False
-                elif op[i + 1] == OP_MOVETO:
-                    keep[i] = False
-                elif op[i + 1] == OP_CLOSEPATH:
-                    keep[i] = False
-                    keep[i + 1] = False
-                    i += 1
-            i += 1
+        if n and not (op == OP_CLOSEPATH).any():
+            is_m = op == OP_MOVETO
+            drop = is_m.copy()
+            drop[:-1] &= is_m[1:]  # next is MOVETO
+            drop[-1] = is_m[-1]    # trailing MOVETO
+            keep = ~drop
+        else:
+            keep = np.ones(n, dtype=bool)
+            i = 0
+            while i < n:
+                if op[i] == OP_MOVETO:
+                    if i + 1 >= n:
+                        keep[i] = False
+                    elif op[i + 1] == OP_MOVETO:
+                        keep[i] = False
+                    elif op[i + 1] == OP_CLOSEPATH:
+                        keep[i] = False
+                        keep[i + 1] = False
+                        i += 1
+                i += 1
         op, x, y = op[keep], x[keep], y[keep]
 
     # pass 3: remove movetos that duplicate the previous lineto endpoint
     if t == VT_LINE:
         n = len(op)
-        keep = np.ones(n, dtype=bool)
-        for i in range(1, n):
-            if (
-                op[i] == OP_MOVETO
-                and op[i - 1] == OP_LINETO
-                and (x[i - 1] >> shift) == (x[i] >> shift)
-                and (y[i - 1] >> shift) == (y[i] >> shift)
-            ):
-                keep[i] = False
-        op, x, y = op[keep], x[keep], y[keep]
+        if n > 1:
+            keep = np.ones(n, dtype=bool)
+            sx = x >> shift
+            sy = y >> shift
+            dup = (
+                (op[1:] == OP_MOVETO)
+                & (op[:-1] == OP_LINETO)
+                & (sx[1:] == sx[:-1])
+                & (sy[1:] == sy[:-1])
+            )
+            keep[1:] = ~dup
+            op, x, y = op[keep], x[keep], y[keep]
     return op, x, y
 
 
@@ -424,16 +448,34 @@ def _douglas_peucker(x, y, necessary, start, n, e, kept, retain):
         first = stack.pop()
         max_distance = -1.0
         farthest = second
-        for i in range(first + 1, second):
-            d = _sq_dist_from_line(
-                x[start + i], y[start + i],
-                x[start + first], y[start + first],
-                x[start + second], y[start + second],
-            )
-            distance = abs(d)
-            if (distance > e or kept < retain) and distance > max_distance:
-                farthest = i
-                max_distance = distance
+        if second - first > 1:
+            # vectorized point-to-segment distances (same float64 ops as
+            # the scalar loop; argmax = first occurrence like the
+            # reference's strict > comparison)
+            ax, ay = float(x[start + first]), float(y[start + first])
+            bx, by = float(x[start + second]), float(y[start + second])
+            pxs = x[start + first + 1: start + second].astype(np.float64)
+            pys = y[start + first + 1: start + second].astype(np.float64)
+            p2x = bx - ax
+            p2y = by - ay
+            something = p2x * p2x + p2y * p2y
+            if something == 0:
+                u = np.zeros(len(pxs))
+            else:
+                u = ((pxs - ax) * p2x + (pys - ay) * p2y) / something
+            u = np.clip(u, 0.0, 1.0)
+            dx = ax + u * p2x - pxs
+            dy = ay + u * p2y - pys
+            d = np.abs(dx * dx + dy * dy)
+            eligible = d > e
+            if kept < retain:
+                eligible = np.ones(len(d), dtype=bool)
+            if eligible.any():
+                dm = d.copy()
+                dm[~eligible] = -np.inf
+                fi = int(np.argmax(dm))
+                farthest = first + 1 + fi
+                max_distance = float(d[fi])
         if max_distance >= 0:
             necessary[start + farthest] = True
             kept += 1
@@ -448,8 +490,12 @@ def _douglas_peucker(x, y, necessary, start, n, e, kept, retain):
 def impose_tile_boundaries(op, x, y, necessary, extent):
     """Insert unsimplifiable nodes at tile-boundary crossings —
     geometry.cpp:774-803."""
-    out = []
     n = len(op)
+    # fast path: geometry entirely inside [0, extent]^2 — every segment
+    # is trivially accepted by the clip (c == 1), nothing is inserted
+    if n and x.min() >= 0 and y.min() >= 0 and x.max() <= extent and y.max() <= extent:
+        return op, x, y, necessary
+    out = []
     for i in range(n):
         if i > 0 and op[i] == OP_LINETO and op[i - 1] in (OP_MOVETO, OP_LINETO):
             x1, y1 = float(x[i - 1]), float(y[i - 1])

@@ -155,8 +155,13 @@ def _is_unsigned_integer(s: str):
     return v
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def stringified_to_mvt_value(vt: int, s: str) -> MvtValue:
-    """mvt.cpp:590-644."""
+    """mvt.cpp:590-644.  Cached: the same feature's attributes are
+    re-typed in every tile it appears in (MvtValue is frozen)."""
     if vt == T_DOUBLE:
         uv = _is_unsigned_integer(s)
         if uv is not None:

@@ -128,7 +128,8 @@ def _geom_rel_bbox(ops, xs, ys):
     return [int(xs[m].min()), int(ys[m].min()), int(xs[m].max()), int(ys[m].max())]
 
 
-def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
+def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
+                 emit_children=True):
     """Process one tile's features.
 
     rows: list of dicts (already sorted by (ix, seq)) with world-snapped
@@ -136,6 +137,8 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
 
     pass_params carries zoom-global discovered drop parameters
     (mingap/minextent/fraction/gamma) for the 2-pass as-needed modes.
+    With emit_children=False the rewrite fan-out is skipped (the Spark
+    pipeline computes fan-out map-side in fanout_pdf).
     """
     buffer = cfg.buffer
     gs = cfg.geometry_scale
@@ -189,7 +192,7 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None):
             continue
 
         # rewrite to next zoom (tile.cpp:1700-1716 via next_feature)
-        if (nextzoom <= cfg.maxzoom or cfg.extend_zooms) and len(ops) > 0:
+        if emit_children and (nextzoom <= cfg.maxzoom or cfg.extend_zooms) and len(ops) > 0:
             if row["tp_maxzoom"] == -1 or row["tp_maxzoom"] >= nextzoom:
                 xr, yr = children_of(bbox, z, nextzoom, buffer)
                 span = 1 << (nextzoom - z)
@@ -730,3 +733,253 @@ def _revive_polygon(ops, xs, ys, area, z, detail):
         np.asarray([p[1] for p in pts], dtype=np.int64),
         np.asarray([p[2] for p in pts], dtype=np.int64),
     )
+
+
+# ---------------------------------------------------------------------------
+# map-side fan-out (the Spark pipeline's cascade step)
+
+
+def fanout_pdf(pdf, z, cfg: TileConfig):
+    """Fan a zoom-z feature frame out to zoom z+1 tiles — rewrite()
+    semantics (tile.cpp:251-356) applied row-wise with a fully vectorized
+    fast path for single-point features (the dominant case).
+
+    Input/output columns: the cascade schema (pipeline.FEATURE_SCHEMA_DDL
+    as a pandas frame).  Runs inside mapInPandas: no shuffle, no group —
+    the fan-out is embarrassingly parallel because each child tile's
+    features come only from its own parent (children are clamped to the
+    parent's span, tile.cpp:296-298).
+    """
+    import pandas as pd
+
+    nextzoom = z + 1
+    if nextzoom > cfg.maxzoom and not cfg.extend_zooms:
+        return pd.DataFrame(columns=pdf.columns)
+    buffer = cfg.buffer
+    gs = cfg.geometry_scale
+    n = len(pdf)
+    if n == 0:
+        return pdf
+
+    t_arr = pdf["t"].to_numpy()
+    tp_max = pdf["tp_maxzoom"].to_numpy()
+    tx_arr = pdf["tile_x"].to_numpy()
+    ty_arr = pdf["tile_y"].to_numpy()
+    xs_col = pdf["xs"].to_numpy()
+    ys_col = pdf["ys"].to_numpy()
+    npts = np.fromiter((len(v) >> 3 for v in xs_col), dtype=np.int64, count=n)
+
+    # fast path: single-point features away from the z0 wraparound edges
+    single = (t_arr == g.VT_POINT) & (npts == 1) & ((tp_max == -1) | (tp_max >= nextzoom))
+    px = np.array([np.frombuffer(v, dtype=np.int64)[0] if len(v) else 0 for v in xs_col], dtype=np.int64)
+    py = np.array([np.frombuffer(v, dtype=np.int64)[0] if len(v) else 0 for v in ys_col], dtype=np.int64)
+    if z == 0:
+        edge = (1 << 32) * buffer // 256
+        single &= (px > edge) & (px < (1 << 32) - edge)
+
+    out_frames = []
+
+    if single.any():
+        idx = np.nonzero(single)[0]
+        ox = tx_arr[idx] << (32 - z) if z else np.zeros(len(idx), dtype=np.int64)
+        oy = ty_arr[idx] << (32 - z) if z else np.zeros(len(idx), dtype=np.int64)
+        rx = px[idx] - ox
+        ry = py[idx] - oy
+        # quick_check for a point: not outside the buffered tile box
+        area = 1 << (32 - z)
+        mn = -(buffer * area // 256)
+        mx = area + buffer * area // 256
+        inside = (rx >= mn) & (ry >= mn) & (rx <= mx) & (ry <= mx)
+        idx = idx[inside]
+        rx = rx[inside]
+        ry = ry[inside]
+        if len(idx):
+            # children_of, vectorized (C-truncating division; rel coords
+            # can be negative in the buffer)
+            div = 1 << (32 - nextzoom - 8)
+            span = 1 << (nextzoom - z)
+
+            def cdiv(a):
+                q = np.abs(a) // div
+                return np.where(a >= 0, q, -q)
+
+            bx0 = cdiv(rx) - (buffer + 1)
+            by0 = cdiv(ry) - (buffer + 1)
+            bx1 = cdiv(rx) + buffer
+            by1 = cdiv(ry) + buffer
+            lim = 256 * span
+            bx0 = np.clip(bx0, 0, lim - 256) // 256
+            by0 = np.clip(by0, 0, lim - 256) // 256
+            bx1 = np.clip(bx1, 0, lim - 256) // 256
+            by1 = np.clip(by1, 0, lim - 256) // 256
+            nx = bx1 - bx0 + 1
+            ny = by1 - by0 + 1
+            counts = nx * ny
+            rep = np.repeat(np.arange(len(idx)), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            ci = np.arange(len(rep)) - np.repeat(starts, counts)
+            xo = ci // np.repeat(ny, counts) + np.repeat(bx0, counts)
+            yo = ci % np.repeat(ny, counts) + np.repeat(by0, counts)
+            src = idx[rep]
+            child = pdf.iloc[src].copy()
+            child["tile_x"] = tx_arr[src] * span + xo
+            child["tile_y"] = ty_arr[src] * span + yo
+            # single points are unchanged by clipping; snapping is
+            # idempotent, so geometry columns carry over as-is
+            out_frames.append(child)
+
+    # slow path: everything else through the exact row-wise rewrite
+    slow = ~single
+    if slow.any():
+        recs = []
+        cols = list(pdf.columns)
+        sub = pdf.iloc[np.nonzero(slow)[0]]
+        for r in sub.itertuples(index=False):
+            row = dict(zip(cols, r))
+            tx, ty = int(row["tile_x"]), int(row["tile_y"])
+            ops = np.frombuffer(row["ops"], dtype=np.uint8) if isinstance(row["ops"], (bytes, bytearray)) else np.asarray(row["ops"], dtype=np.uint8)
+            xs = np.frombuffer(row["xs"], dtype=np.int64) if isinstance(row["xs"], (bytes, bytearray)) else np.asarray(row["xs"], dtype=np.int64)
+            ys = np.frombuffer(row["ys"], dtype=np.int64) if isinstance(row["ys"], (bytes, bytearray)) else np.asarray(row["ys"], dtype=np.int64)
+            origin_x = tx << (32 - z) if z else 0
+            origin_y = ty << (32 - z) if z else 0
+            xs = xs - origin_x
+            ys = ys - origin_y
+            bbox = _geom_rel_bbox(ops, xs, ys)
+            if bbox is None:
+                continue
+            ops, xs, ys, skip = clip_to_tile(
+                ops, xs, ys, row["t"], z, buffer, bbox,
+                no_clipping=cfg.no_clipping, no_duplication=cfg.no_duplication)
+            if skip or len(ops) == 0:
+                continue
+            if row["tp_maxzoom"] != -1 and row["tp_maxzoom"] < nextzoom:
+                continue
+            xr, yr = children_of(bbox, z, nextzoom, buffer)
+            span = 1 << (nextzoom - z)
+            cxs = xs + origin_x
+            cys = ys + origin_y
+            if gs > 0:
+                C = 4 << 32
+                cxs = (((cxs + C) >> gs) << gs) - C
+                cys = (((cys + C) >> gs) << gs) - C
+            base = dict(row)
+            base["ops"] = ops.tobytes()
+            base["xs"] = cxs.astype(np.int64).tobytes()
+            base["ys"] = cys.astype(np.int64).tobytes()
+            for xo in xr:
+                for yo in yr:
+                    c = dict(base)
+                    c["tile_x"] = tx * span + xo
+                    c["tile_y"] = ty * span + yo
+                    recs.append(c)
+        if recs:
+            out_frames.append(pd.DataFrame.from_records(recs, columns=pdf.columns))
+
+    if not out_frames:
+        return pd.DataFrame(columns=pdf.columns)
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def can_prefilter_dropped(cfg: TileConfig) -> bool:
+    """Whether dropped-point rows can be eliminated before the ladder.
+
+    Exactness argument: with no accumulate/gamma/cluster/as-needed/
+    density semantics, a dropped feature's only possible effect is to be
+    kept when NO partial of its (layer, type) exists yet
+    (tile.cpp:1870-1875).  A single-point feature that passes quick_check
+    always survives clipping and always creates a partial, so any
+    earlier quick-passing single-point row of the same (tile, layer)
+    proves a partial exists — making removal of later dropped point rows
+    exact."""
+    return not (
+        cfg.any_as_needed
+        or cfg.accumulate
+        or cfg.gamma > 0
+        or cfg.cluster_distance != 0
+        or cfg.calculate_feature_density
+        or cfg.no_clipping
+        or cfg.no_duplication
+    )
+
+
+def prefilter_dropped_mask(pdf, z, cfg: TileConfig):
+    """Boolean keep-mask over a tile-sorted frame (see
+    can_prefilter_dropped).  Vectorized; requires rows sorted by
+    (tile_x, tile_y, ix unsigned, seq)."""
+    n = len(pdf)
+    t_arr = pdf["t"].to_numpy()
+    fmz = pdf["fmz"].to_numpy()
+    tpmin = pdf["tp_minzoom"].to_numpy()
+    tpmax = pdf["tp_maxzoom"].to_numpy()
+    txa = pdf["tile_x"].to_numpy()
+    tya = pdf["tile_y"].to_numpy()
+    xs_col = pdf["xs"].to_numpy()
+    ys_col = pdf["ys"].to_numpy()
+    npts = np.fromiter((len(v) >> 3 for v in xs_col), dtype=np.int64, count=n)
+    px = np.array([np.frombuffer(v, dtype=np.int64)[0] if len(v) else 0 for v in xs_col], dtype=np.int64)
+    py = np.array([np.frombuffer(v, dtype=np.int64)[0] if len(v) else 0 for v in ys_col], dtype=np.int64)
+
+    # zoom gates are unconditionally removable (next_feature, tile.cpp:1352-1361)
+    gate_skip = ((tpmin != -1) & (z < tpmin)) | ((tpmax != -1) & (z > tpmax))
+
+    dropped = (tpmin == -1) & (z < fmz)
+    area = 1 << (32 - z)
+    mn = -(cfg.buffer * area // 256)
+    mx = area + cfg.buffer * area // 256
+    ox = txa << (32 - z) if z else 0
+    oy = tya << (32 - z) if z else 0
+    rx = px - ox
+    ry = py - oy
+    qp_point = (
+        (t_arr == g.VT_POINT) & (npts == 1) & ~gate_skip
+        & (rx >= mn) & (ry >= mn) & (rx <= mx) & (ry <= mx)
+    )
+    # count of earlier quick-passing single points per (tile, layer):
+    # rows are tile-sorted, so tiles are consecutive runs; combine the
+    # run id with a factorized layer code for an exact group key
+    import pandas as pd
+
+    tile_change = np.ones(n, dtype=bool)
+    if n > 1:
+        tile_change[1:] = (txa[1:] != txa[:-1]) | (tya[1:] != tya[:-1])
+    tile_run = np.cumsum(tile_change) - 1
+    layer_code, _uniq = pd.factorize(pdf["layer"].to_numpy())
+    gid = tile_run * (layer_code.max() + 1 if n else 1) + layer_code
+    cum = pd.Series(qp_point.astype(np.int64)).groupby(gid, sort=False).cumsum().to_numpy()
+    earlier = cum - qp_point.astype(np.int64)
+    removable = dropped & (t_arr == g.VT_POINT) & (earlier >= 1)
+    return ~(removable | gate_skip)
+
+
+def encode_point_tile_fast(layer_name, keys, vtypes, values, has_id, fid,
+                           rel_xs, rel_ys, z, cfg: TileConfig):
+    """Lean encode for a tile whose only feature is a point row.
+
+    Semantics proof: with can_prefilter_dropped(cfg) a lone point row is
+    always kept (even when dropped, it becomes the first partial,
+    tile.cpp:1870-1875); points skip simplification/tiny-poly; output is
+    clip -> quantize -> encode -> gzip.  Returns bytes or None."""
+    detail = cfg.detail_at(z)
+    area = 1 << (32 - z)
+    b = cfg.buffer * area // 256
+    mn, mx = -b, area + b
+    m = (rel_xs >= mn) & (rel_ys >= mn) & (rel_xs <= mx) & (rel_ys <= mx)
+    if not m.any():
+        return None
+    shift = 32 - detail - z
+    qx = rel_xs[m] >> shift
+    qy = rel_ys[m] >> shift
+    feature = M.MvtFeature()
+    feature.type = g.VT_POINT
+    feature.geometry = [(g.OP_MOVETO, int(x), int(y)) for x, y in zip(qx, qy)]
+    feature.id = fid
+    feature.has_id = bool(has_id)
+    layer = M.MvtLayer(name=layer_name, version=2, extent=1 << detail)
+    for k, vt, sv in zip(keys, vtypes, values):
+        if vt == M.T_NULL:
+            continue
+        layer.tag(feature, k, M.stringified_to_mvt_value(vt, sv))
+    layer.features.append(feature)
+    tile = M.MvtTile(layers=[layer])
+    raw = M.encode_tile(tile)
+    return raw if cfg.no_tile_compression else M.gzip_tile(raw)

@@ -93,12 +93,31 @@ def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exac
 # ---------------------------------------------------------------------------
 # Spark runner
 
+# props (keys/types/values) pickled into one binary column and
+# coordinates packed as raw little-endian int64 — fixed-width + binary
+# columns keep Arrow transfers and shuffle writes cheap (no per-row
+# Python object lists)
 FEATURE_SCHEMA_DDL = (
     "tile_x long, tile_y long, layer string, seq long, t tinyint, "
     "has_id boolean, id long, tp_minzoom int, tp_maxzoom int, fmz tinyint, "
-    "ix long, extent long, keys array<string>, vtypes array<int>, "
-    "values array<string>, ops binary, xs array<long>, ys array<long>"
+    "ix long, extent long, props binary, ops binary, xs binary, ys binary"
 )
+
+
+def pack_props(keys, vtypes, values) -> bytes:
+    import pickle
+
+    if not keys:
+        return b""
+    return pickle.dumps((list(keys), list(vtypes), list(values)), protocol=4)
+
+
+def unpack_props(blob):
+    import pickle
+
+    if not blob:
+        return [], [], []
+    return pickle.loads(bytes(blob))
 
 STAGE_SCHEMA_DDL = FEATURE_SCHEMA_DDL + ", kind tinyint, z int, tile binary"
 
@@ -122,12 +141,10 @@ def features_to_pdf(features: list) -> pd.DataFrame:
             "fmz": f.get("fmz", 0),
             "ix": np.int64(np.uint64(f["ix"] % (1 << 64))),
             "extent": f["extent"],
-            "keys": list(f["keys"]),
-            "vtypes": [int(v) for v in f["vtypes"]],
-            "values": list(f["values"]),
+            "props": pack_props(f["keys"], f["vtypes"], f["values"]),
             "ops": np.asarray(f["ops"], dtype=np.uint8).tobytes(),
-            "xs": np.asarray(f["xs"], dtype=np.int64),
-            "ys": np.asarray(f["ys"], dtype=np.int64),
+            "xs": np.asarray(f["xs"], dtype=np.int64).tobytes(),
+            "ys": np.asarray(f["ys"], dtype=np.int64).tobytes(),
         })
     return pd.DataFrame(rows)
 
@@ -135,6 +152,7 @@ def features_to_pdf(features: list) -> pd.DataFrame:
 def _pdf_rows_to_dicts(pdf: pd.DataFrame):
     out = []
     for r in pdf.itertuples(index=False):
+        keys, vtypes, values = unpack_props(r.props)
         out.append({
             "layer": r.layer,
             "seq": r.seq,
@@ -146,12 +164,12 @@ def _pdf_rows_to_dicts(pdf: pd.DataFrame):
             "fmz": r.fmz,
             "ix": r.ix,
             "extent": r.extent,
-            "keys": list(r.keys),
-            "vtypes": list(r.vtypes),
-            "values": list(r.values),
+            "keys": keys,
+            "vtypes": vtypes,
+            "values": values,
             "ops": np.frombuffer(r.ops, dtype=np.uint8),
-            "xs": np.asarray(r.xs, dtype=np.int64),
-            "ys": np.asarray(r.ys, dtype=np.int64),
+            "xs": np.frombuffer(r.xs, dtype=np.int64),
+            "ys": np.frombuffer(r.ys, dtype=np.int64),
         })
     return out
 
@@ -170,9 +188,7 @@ def _empty_stage_pdf() -> pd.DataFrame:
         "fmz": pd.Series(dtype="int8"),
         "ix": pd.Series(dtype="int64"),
         "extent": pd.Series(dtype="int64"),
-        "keys": pd.Series(dtype="object"),
-        "vtypes": pd.Series(dtype="object"),
-        "values": pd.Series(dtype="object"),
+        "props": pd.Series(dtype="object"),
         "ops": pd.Series(dtype="object"),
         "xs": pd.Series(dtype="object"),
         "ys": pd.Series(dtype="object"),
@@ -193,71 +209,108 @@ def _sort_rows_by_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.iloc[order]
 
 
-def _make_batch_processor(z_start: int, z_end: int, cfg: TileConfig):
-    """Group function processing zooms [z_start, z_end] in one shot.
+def _make_encode_processor(cfg: TileConfig, prefilter: bool):
+    """Shard group function: encode every (z, tile) run in the shard.
 
-    A group is a shard of z_start tiles.  Because rewrite() confines a
-    feature's children to its own parent's sub-tiles (tile.cpp:296-298:
-    xo, yo are clamped within the parent's span), a tile's whole subtree
-    is reachable without any cross-group data — so multiple zoom levels
-    run per shuffle, a mini version of build_tiles_local per subtree.
-
-    Emits tile rows (kind=1, with z) and frontier child rows for
-    z_end + 1 (kind=0)."""
+    The fan-out is NOT done here (see fanout_pdf) — this branch only runs
+    the order-dependent drop ladder + simplify + MVT encode, so the
+    optional exact prefilter (can_prefilter_dropped) can slash the row
+    count before the per-feature Python loop.  Rows for ALL zooms arrive
+    in one shuffle (column _z)."""
+    from .operators.tiler import encode_point_tile_fast, prefilter_dropped_mask
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["_shard"])
+        order = np.lexsort((
+            pdf["seq"].to_numpy(),
+            pdf["ix"].to_numpy().astype(np.uint64),
+            pdf["tile_y"].to_numpy(),
+            pdf["tile_x"].to_numpy(),
+            pdf["_z"].to_numpy(),
+        ))
+        pdf = pdf.iloc[order]
+        if prefilter and len(pdf):
+            keep = np.ones(len(pdf), dtype=bool)
+            for z in np.unique(pdf["_z"].to_numpy()):
+                m = (pdf["_z"] == z).to_numpy()
+                keep[m] = prefilter_dropped_mask(pdf[m], int(z), cfg)
+            pdf = pdf[keep]
+        if not len(pdf):
+            return _empty_tiles_pdf()
+        zs = pdf["_z"].to_numpy()
+        txs = pdf["tile_x"].to_numpy()
+        tys = pdf["tile_y"].to_numpy()
+        t_arr = pdf["t"].to_numpy()
+        tpmin = pdf["tp_minzoom"].to_numpy()
+        tpmax = pdf["tp_maxzoom"].to_numpy()
+        n = len(pdf)
+        bounds = [0] + [i for i in range(1, n) if zs[i] != zs[i - 1] or txs[i] != txs[i - 1] or tys[i] != tys[i - 1]] + [n]
+
+        # columnar fast path for lone point-feature tiles (dominant at
+        # deep zooms); everything else goes through the exact ladder
+        run_len = np.diff(bounds)
+        starts = np.asarray(bounds[:-1])
+        fast_ok = prefilter  # same gate as can_prefilter_dropped
+        fast_runs = np.zeros(len(starts), dtype=bool)
+        if fast_ok:
+            fast_runs = (
+                (run_len == 1)
+                & (t_arr[starts] == 1)
+                & (zs[starts] >= cfg.minzoom)
+                & ((tpmin[starts] == -1) | (zs[starts] >= tpmin[starts]))
+                & ((tpmax[starts] == -1) | (zs[starts] <= tpmax[starts]))
+            )
+        slow_idx_mask = np.zeros(n, dtype=bool)
+        for ri, st in enumerate(starts):
+            if not fast_runs[ri]:
+                slow_idx_mask[st: st + run_len[ri]] = True
+        slow_rows = _pdf_rows_to_dicts(pdf[slow_idx_mask]) if slow_idx_mask.any() else []
+
         recs = []
-        current = _rows_by_tile(_sort_rows_by_tile(pdf))
-        for z in range(z_start, z_end + 1):
-            nxt = {}
-            for (tx, ty), rows in sorted(current.items()):
-                rows.sort(key=lambda f: (
-                    f["ix"] + (1 << 64) if f["ix"] < 0 else f["ix"], f["seq"]))
-                tile_bytes, children, _stats = process_tile(rows, z, tx, ty, cfg)
-                if tile_bytes is not None and z >= cfg.minzoom:
-                    recs.append((
-                        tx, ty, "", 0, 0, False, 0, -1, -1, 0, 0, 0,
-                        [], [], [], b"", [], [], 1, z, tile_bytes,
-                    ))
-                for ch in children:
-                    nxt.setdefault((ch.pop("tile_x"), ch.pop("tile_y")), []).append(ch)
-            current = nxt
-            if not current:
-                break
-        # frontier rows continue at z_end + 1
-        for (tx, ty), rows in current.items():
-            for ch in rows:
-                recs.append((
-                    tx, ty, ch["layer"], ch["seq"], ch["t"],
-                    ch["has_id"], np.int64(np.uint64(ch["id"] % (1 << 64))),
-                    ch["tp_minzoom"], ch["tp_maxzoom"], ch["fmz"], ch["ix"],
-                    ch["extent"], ch["keys"], ch["vtypes"], ch["values"],
-                    np.asarray(ch["ops"], dtype=np.uint8).tobytes(),
-                    ch["xs"], ch["ys"], 0, 0, None,
-                ))
+        xs_col = pdf["xs"].to_numpy()
+        ys_col = pdf["ys"].to_numpy()
+        props_col = pdf["props"].to_numpy()
+        layer_col = pdf["layer"].to_numpy()
+        hid_col = pdf["has_id"].to_numpy()
+        id_col = pdf["id"].to_numpy()
+        slow_pos = 0
+        for ri, st in enumerate(starts):
+            z, tx, ty = int(zs[st]), int(txs[st]), int(tys[st])
+            if fast_runs[ri]:
+                ox = tx << (32 - z) if z else 0
+                oy = ty << (32 - z) if z else 0
+                keys, vtypes, values = unpack_props(props_col[st])
+                tb = encode_point_tile_fast(
+                    layer_col[st], keys, vtypes,
+                    values, bool(hid_col[st]),
+                    int(np.uint64(np.int64(id_col[st]))),
+                    np.frombuffer(xs_col[st], dtype=np.int64) - ox,
+                    np.frombuffer(ys_col[st], dtype=np.int64) - oy,
+                    z, cfg)
+                if tb is not None:
+                    recs.append((z, tx, ty, tb))
+            else:
+                cnt = int(run_len[ri])
+                tile_bytes, _children, _stats = process_tile(
+                    slow_rows[slow_pos: slow_pos + cnt], z, tx, ty, cfg,
+                    emit_children=False)
+                slow_pos += cnt
+                if tile_bytes is not None:
+                    recs.append((z, tx, ty, tile_bytes))
         if not recs:
-            return _empty_stage_pdf()
-        return pd.DataFrame.from_records(recs, columns=_STAGE_COLUMNS)
+            return _empty_tiles_pdf()
+        return pd.DataFrame.from_records(recs, columns=["z", "x", "y", "tile"])
 
     return fn
 
 
-def _rows_by_tile(pdf: pd.DataFrame) -> dict:
-    rows = _pdf_rows_to_dicts(pdf)
-    txs = pdf["tile_x"].to_numpy()
-    tys = pdf["tile_y"].to_numpy()
-    out = {}
-    for i, r in enumerate(rows):
-        out.setdefault((int(txs[i]), int(tys[i])), []).append(r)
-    return out
-
-
-_STAGE_COLUMNS = [
-    "tile_x", "tile_y", "layer", "seq", "t", "has_id", "id", "tp_minzoom",
-    "tp_maxzoom", "fmz", "ix", "extent", "keys", "vtypes", "values", "ops",
-    "xs", "ys", "kind", "z", "tile",
-]
+def _empty_tiles_pdf() -> pd.DataFrame:
+    return pd.DataFrame({
+        "z": pd.Series(dtype="int32"),
+        "x": pd.Series(dtype="int64"),
+        "y": pd.Series(dtype="int64"),
+        "tile": pd.Series(dtype="object"),
+    })
 
 
 def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ranks: int = 5_000_000):
@@ -351,49 +404,60 @@ def _eligible_col(df, cfg: TileConfig):
     return c
 
 
-def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact",
-                checkpoint_dir: str | None = None, zoom_batch: int = 4):
-    """Spark zoom-cascade build.  features_df must have FEATURE_SCHEMA_DDL
-    columns (see features_to_pdf / sources).  Returns a DataFrame
-    (z int, x long, y long, tile binary).
 
-    One shuffle per ``zoom_batch`` zoom levels (subtree locality makes
-    batching exact); shard count mirrors TEMP_FILES (main.cpp:217-220)."""
+TILES_SCHEMA_DDL = "z int, x long, y long, tile binary"
+
+
+def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact",
+                checkpoint_dir: str | None = None):
+    """Spark zoom-pyramid build.
+
+    Structure (the 100 TB design):
+
+      features_z  ──mapInPandas(fanout_pdf)──▶ features_{z+1}   [narrow!]
+           │
+           └─ groupBy(shard of (tile_x, tile_y)) ─▶ encode ─▶ tiles_z
+
+    The cascade between zooms is a narrow map (rewrite() confines
+    children to their parent's subtree, so no shuffle is needed to keep
+    tile groups together until the encode).  The only shuffles are the
+    per-zoom encode groupBys; the exact dropped-point prefilter
+    (operators.tiler.can_prefilter_dropped) keeps the hot z0-z4 tile
+    groups small.  Returns a DataFrame (z int, x long, y long, tile
+    binary)."""
     from pyspark.sql import functions as F
+
+    from .operators.tiler import can_prefilter_dropped, fanout_pdf
 
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
 
-    n_shards = max(spark.sparkContext.defaultParallelism * 4, 8)
+    n_shards = max(spark.sparkContext.defaultParallelism * 8, 16)
+    prefilter = can_prefilter_dropped(cfg)
+    maxzoom = cfg.maxzoom
 
-    tile_dfs = []
-    current = df
-    z = 0
-    while z <= cfg.maxzoom:
-        z_end = min(z + zoom_batch - 1, cfg.maxzoom)
-        fn = _make_batch_processor(z, z_end, cfg)
-        shard = F.pmod(F.hash("tile_x", "tile_y"), F.lit(n_shards))
-        stage = (
-            current.withColumn("_shard", shard)
-            .groupBy("_shard")
-            .applyInPandas(fn, schema=STAGE_SCHEMA_DDL)
-        )
-        stage = stage.persist()
-        tiles_z = (
-            stage.filter(F.col("kind") == 1)
-            .select(
-                F.col("z"),
-                F.col("tile_x").alias("x"),
-                F.col("tile_y").alias("y"),
-                F.col("tile"),
-            )
-        )
-        tile_dfs.append(tiles_z)
-        current = stage.filter(F.col("kind") == 0).drop("kind", "z", "tile")
-        if checkpoint_dir is not None:
-            current = current.checkpoint(eager=False)
-        z = z_end + 1
+    def cascade(it):
+        """All zoom levels in one narrow pass: the fan-out is per-feature
+        (children stay under their parent), so each partition runs the
+        whole pyramid locally and streams every level out with its _z."""
+        for pdf in it:
+            cur = pdf
+            for z in range(0, maxzoom + 1):
+                if not len(cur):
+                    break
+                out = cur.copy()
+                out["_z"] = np.int32(z)
+                yield out
+                if z < maxzoom:
+                    cur = fanout_pdf(cur, z, cfg)
 
-    out = tile_dfs[0]
-    for t in tile_dfs[1:]:
-        out = out.unionByName(t)
-    return out
+    allz = df.mapInPandas(cascade, schema=FEATURE_SCHEMA_DDL + ", _z int")
+    if checkpoint_dir is not None:
+        allz = allz.checkpoint(eager=False)
+
+    enc = _make_encode_processor(cfg, prefilter)
+    shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
+    return (
+        allz.withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandas(enc, schema=TILES_SCHEMA_DDL)
+    )
