@@ -152,11 +152,16 @@ def main():
         lo = max(CPUS // 4, 2)
         res = {}
         for m in (lo, CPUS):
-            r = subprocess.run(
-                [sys.executable, __file__, "--scaling-worker", f"local[{m}]", str(n_pages)],
-                capture_output=True, text=True, check=True,
-            )
-            res[m] = json.loads(r.stdout.strip().splitlines()[-1])
+            best = None
+            for _rep in range(2):  # best-of-2: the host is noisy
+                r = subprocess.run(
+                    [sys.executable, __file__, "--scaling-worker", f"local[{m}]", str(n_pages)],
+                    capture_output=True, text=True, check=True,
+                )
+                got = json.loads(r.stdout.strip().splitlines()[-1])
+                if best is None or got["tiles_per_sec"] > best["tiles_per_sec"]:
+                    best = got
+            res[m] = best
         eff = (res[CPUS]["tiles_per_sec"] / res[lo]["tiles_per_sec"]) / (CPUS / lo)
         out["scaling"] = {
             "n_cores": lo,

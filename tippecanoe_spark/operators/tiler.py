@@ -951,35 +951,83 @@ def prefilter_dropped_mask(pdf, z, cfg: TileConfig):
     return ~(removable | gate_skip)
 
 
-def encode_point_tile_fast(layer_name, keys, vtypes, values, has_id, fid,
-                           rel_xs, rel_ys, z, cfg: TileConfig):
-    """Lean encode for a tile whose only feature is a point row.
+_PROPS_CACHE = {}
 
-    Semantics proof: with can_prefilter_dropped(cfg) a lone point row is
-    always kept (even when dropped, it becomes the first partial,
-    tile.cpp:1870-1875); points skip simplification/tiny-poly; output is
-    clip -> quantize -> encode -> gzip.  Returns bytes or None."""
+
+def _cached_props(blob):
+    """Unpickle a props blob with a small per-worker cache (the same
+    feature's blob recurs in every tile it reaches)."""
+    if not blob:
+        return [], [], []
+    key = bytes(blob)
+    got = _PROPS_CACHE.get(key)
+    if got is None:
+        import pickle
+
+        got = pickle.loads(key)
+        if len(_PROPS_CACHE) > 200000:
+            _PROPS_CACHE.clear()
+        _PROPS_CACHE[key] = got
+    return got
+
+
+def encode_points_tile_fast(run, z, tx, ty, cfg: TileConfig):
+    """Lean exact encode for a tile whose features are ALL points, under
+    can_prefilter_dropped(cfg) semantics.
+
+    The full write_tile ladder degenerates for points with no gamma /
+    cluster / as-needed / accumulate modes to exactly:
+      for each row in (ix, seq) order:
+        if dropped and a partial of (layer) exists: skip   (fold no-op)
+        clip points to tile+buffer; if empty: skip
+        emit feature; mark partial exists
+    (tile.cpp:1870-2004 with every other branch disabled; points skip
+    tiny-poly/too-small/simplify; fraction_accum with fraction=1 always
+    keeps.)  Rows arrive pre-sorted; gate-skipped rows were prefiltered.
+
+    run: dict of column arrays sliced to this tile's rows."""
     detail = cfg.detail_at(z)
     area = 1 << (32 - z)
     b = cfg.buffer * area // 256
     mn, mx = -b, area + b
-    m = (rel_xs >= mn) & (rel_ys >= mn) & (rel_xs <= mx) & (rel_ys <= mx)
-    if not m.any():
-        return None
     shift = 32 - detail - z
-    qx = rel_xs[m] >> shift
-    qy = rel_ys[m] >> shift
-    feature = M.MvtFeature()
-    feature.type = g.VT_POINT
-    feature.geometry = [(g.OP_MOVETO, int(x), int(y)) for x, y in zip(qx, qy)]
-    feature.id = fid
-    feature.has_id = bool(has_id)
-    layer = M.MvtLayer(name=layer_name, version=2, extent=1 << detail)
-    for k, vt, sv in zip(keys, vtypes, values):
-        if vt == M.T_NULL:
+    ox = tx << (32 - z) if z else 0
+    oy = ty << (32 - z) if z else 0
+
+    layers = {}
+    exists = set()
+    n = len(run["t"])
+    for i in range(n):
+        layer_name = run["layer"][i]
+        dropped = run["tp_minzoom"][i] == -1 and z < run["fmz"][i]
+        if dropped and layer_name in exists:
             continue
-        layer.tag(feature, k, M.stringified_to_mvt_value(vt, sv))
-    layer.features.append(feature)
-    tile = M.MvtTile(layers=[layer])
+        xs = np.frombuffer(run["xs"][i], dtype=np.int64) - ox
+        ys = np.frombuffer(run["ys"][i], dtype=np.int64) - oy
+        m = (xs >= mn) & (ys >= mn) & (xs <= mx) & (ys <= mx)
+        if not m.any():
+            continue
+        qx = xs[m] >> shift
+        qy = ys[m] >> shift
+        feature = M.MvtFeature()
+        feature.type = g.VT_POINT
+        feature.geometry = [(g.OP_MOVETO, int(x), int(y)) for x, y in zip(qx, qy)]
+        feature.id = int(np.uint64(np.int64(run["id"][i])))
+        feature.has_id = bool(run["has_id"][i])
+        layer = layers.get(layer_name)
+        if layer is None:
+            layer = M.MvtLayer(name=layer_name, version=2, extent=1 << detail)
+            layers[layer_name] = layer
+        keys, vtypes, values = _cached_props(run["props"][i])
+        for k, vt, sv in zip(keys, vtypes, values):
+            if vt == M.T_NULL:
+                continue
+            layer.tag(feature, k, M.stringified_to_mvt_value(vt, sv))
+        layer.features.append(feature)
+        exists.add(layer_name)
+
+    tile = M.MvtTile(layers=[layers[nm] for nm in sorted(layers) if layers[nm].features])
+    if not tile.layers:
+        return None
     raw = M.encode_tile(tile)
     return raw if cfg.no_tile_compression else M.gzip_tile(raw)

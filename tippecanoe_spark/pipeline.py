@@ -217,7 +217,7 @@ def _make_encode_processor(cfg: TileConfig, prefilter: bool):
     optional exact prefilter (can_prefilter_dropped) can slash the row
     count before the per-feature Python loop.  Rows for ALL zooms arrive
     in one shuffle (column _z)."""
-    from .operators.tiler import encode_point_tile_fast, prefilter_dropped_mask
+    from .operators.tiler import encode_points_tile_fast, prefilter_dropped_mask
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["_shard"])
@@ -246,51 +246,49 @@ def _make_encode_processor(cfg: TileConfig, prefilter: bool):
         n = len(pdf)
         bounds = [0] + [i for i in range(1, n) if zs[i] != zs[i - 1] or txs[i] != txs[i - 1] or tys[i] != tys[i - 1]] + [n]
 
-        # columnar fast path for lone point-feature tiles (dominant at
-        # deep zooms); everything else goes through the exact ladder
+        # columnar fast path for all-point tile runs (the dominant case);
+        # line/polygon tiles go through the exact full ladder.  When the
+        # prefilter ran, gate-skipped rows are already gone, which the
+        # fast path relies on.
         run_len = np.diff(bounds)
         starts = np.asarray(bounds[:-1])
-        fast_ok = prefilter  # same gate as can_prefilter_dropped
+        is_point = t_arr == 1
+        point_prefix = np.cumsum(is_point)
         fast_runs = np.zeros(len(starts), dtype=bool)
-        if fast_ok:
-            fast_runs = (
-                (run_len == 1)
-                & (t_arr[starts] == 1)
-                & (zs[starts] >= cfg.minzoom)
-                & ((tpmin[starts] == -1) | (zs[starts] >= tpmin[starts]))
-                & ((tpmax[starts] == -1) | (zs[starts] <= tpmax[starts]))
-            )
+        if prefilter:
+            ends = starts + run_len
+            pts_in_run = point_prefix[ends - 1] - (point_prefix[starts - 1] if False else np.where(starts > 0, point_prefix[starts - 1], 0))
+            # z0 excluded: edge-touching points are duplicated across the
+            # date line there (clip_to_tile, tile.cpp:1228-1254)
+            fast_runs = (pts_in_run == run_len) & (zs[starts] >= cfg.minzoom) & (zs[starts] > 0)
         slow_idx_mask = np.zeros(n, dtype=bool)
         for ri, st in enumerate(starts):
             if not fast_runs[ri]:
                 slow_idx_mask[st: st + run_len[ri]] = True
         slow_rows = _pdf_rows_to_dicts(pdf[slow_idx_mask]) if slow_idx_mask.any() else []
 
+        cols = {
+            "t": t_arr,
+            "fmz": pdf["fmz"].to_numpy(),
+            "tp_minzoom": tpmin,
+            "xs": pdf["xs"].to_numpy(),
+            "ys": pdf["ys"].to_numpy(),
+            "props": pdf["props"].to_numpy(),
+            "layer": pdf["layer"].to_numpy(),
+            "has_id": pdf["has_id"].to_numpy(),
+            "id": pdf["id"].to_numpy(),
+        }
         recs = []
-        xs_col = pdf["xs"].to_numpy()
-        ys_col = pdf["ys"].to_numpy()
-        props_col = pdf["props"].to_numpy()
-        layer_col = pdf["layer"].to_numpy()
-        hid_col = pdf["has_id"].to_numpy()
-        id_col = pdf["id"].to_numpy()
         slow_pos = 0
         for ri, st in enumerate(starts):
             z, tx, ty = int(zs[st]), int(txs[st]), int(tys[st])
+            cnt = int(run_len[ri])
             if fast_runs[ri]:
-                ox = tx << (32 - z) if z else 0
-                oy = ty << (32 - z) if z else 0
-                keys, vtypes, values = unpack_props(props_col[st])
-                tb = encode_point_tile_fast(
-                    layer_col[st], keys, vtypes,
-                    values, bool(hid_col[st]),
-                    int(np.uint64(np.int64(id_col[st]))),
-                    np.frombuffer(xs_col[st], dtype=np.int64) - ox,
-                    np.frombuffer(ys_col[st], dtype=np.int64) - oy,
-                    z, cfg)
+                run = {k: v[st: st + cnt] for k, v in cols.items()}
+                tb = encode_points_tile_fast(run, z, tx, ty, cfg)
                 if tb is not None:
                     recs.append((z, tx, ty, tb))
             else:
-                cnt = int(run_len[ri])
                 tile_bytes, _children, _stats = process_tile(
                     slow_rows[slow_pos: slow_pos + cnt], z, tx, ty, cfg,
                     emit_children=False)
@@ -430,8 +428,13 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     from .operators.tiler import can_prefilter_dropped, fanout_pdf
 
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
+    # the fmz pass leaves data range-partitioned by ix (spatially
+    # clustered) — rebalance before the cascade, whose fan-out cost is
+    # proportional to local feature density (per-feature, order-free)
+    par = spark.sparkContext.defaultParallelism
+    df = df.repartition(par * 2)
 
-    n_shards = max(spark.sparkContext.defaultParallelism * 8, 16)
+    n_shards = max(par * 8, 16)
     prefilter = can_prefilter_dropped(cfg)
     maxzoom = cfg.maxzoom
 
