@@ -406,6 +406,59 @@ def q_top_events_per_user(spark, sf_dir):
     )
 
 
+def _lonlat_expr():
+    # E0 suffix: double literals in BOTH engines (Spark parses bare
+    # decimals as DECIMAL, which truncates downstream arithmetic)
+    return (
+        f"((event_id * {_XMUL}) % {_W}) / 4294967296E0 * 360E0 - 180E0",
+        f"((event_id * {_YMUL} + {_YADD}) % {_W}) / 4294967296E0 * 170E0 - 85E0",
+    )
+
+
+def q_pip_regions(spark, sf_dir):
+    """Point-in-polygon join against a broadcast prepared-polygon layer
+    (north_rule): an 8x8 grid of rectangle regions, executed through the
+    real vectorized ray-cast (operators.spatial.pip_join); the oracle
+    states the same containment as range predicates."""
+    from tippecanoe_spark.operators.spatial import pip_join
+
+    lon_e, lat_e = _lonlat_expr()
+    pts = _events_xy(spark, sf_dir).selectExpr(
+        "CAST(event_id AS STRING) AS poi_id",
+        f"{lon_e} AS lon",
+        f"{lat_e} AS lat",
+    )
+    polys = []
+    for gx in range(8):
+        for gy in range(8):
+            x0 = -180.0 + gx * 45.0
+            y0 = -90.0 + gy * 22.5
+            ring = [(x0, y0), (x0 + 45.0, y0), (x0 + 45.0, y0 + 22.5),
+                    (x0, y0 + 22.5), (x0, y0)]
+            polys.append((f"r{gx}_{gy}", [ring]))
+    joined = pip_join(spark, pts, polys)
+    return joined.groupBy("region_id").agg(F.count("*").alias("n"))
+
+
+def q_knn_brute(spark, sf_dir):
+    """Exact brute-force k=3 nearest neighbors (the ANN baseline) for 20
+    query points over the synthetic event coordinates."""
+    from pyspark.sql.window import Window
+
+    lon_e, lat_e = _lonlat_expr()
+    base = _events_xy(spark, sf_dir).selectExpr(
+        "event_id", f"{lon_e} AS lon", f"{lat_e} AS lat")
+    qdf = base.filter("event_id < 20").selectExpr(
+        "event_id AS qid", "lon AS qlon", "lat AS qlat")
+    tdf = base.filter("event_id >= 20")
+    cand = qdf.crossJoin(tdf).selectExpr(
+        "qid", "event_id",
+        "round((qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat), 8) AS d2",
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("event_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter("rk <= 3")                .select("qid", "rk", "event_id", "d2")
+
+
 def q_tpch_q1ish(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -445,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "events_hourly": q_events_hourly,
         "top_events_per_user": q_top_events_per_user,
+        "pip_regions": q_pip_regions,
+        "knn_brute": q_knn_brute,
         "tpch_q1ish": q_tpch_q1ish,
     }
 
@@ -568,6 +623,22 @@ def oracle_sql() -> dict[str, str]:
         "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) "
         "AS rk FROM events) SELECT user_id, rk, event_id, round(value, 6) AS value6 "
         "FROM r WHERE rk <= 2",
+        "pip_regions": xy + ", pts AS (SELECT "
+        "((event_id * 2654435761) % 4294967296) / 4294967296E0 * 360E0 - 180E0 AS lon, "
+        "((event_id * 2246822519 + 3266489917) % 4294967296) / 4294967296E0 * 170E0 - 85E0 AS lat "
+        "FROM exy) SELECT 'r' || CAST(CAST(floor((lon + 180.0) / 45.0) AS BIGINT) AS VARCHAR) "
+        "|| '_' || CAST(CAST(floor((lat + 90.0) / 22.5) AS BIGINT) AS VARCHAR) AS region_id, "
+        "count(*) AS n FROM pts GROUP BY 1",
+        "knn_brute": xy + ", pts AS (SELECT event_id, "
+        "((event_id * 2654435761) % 4294967296) / 4294967296E0 * 360E0 - 180E0 AS lon, "
+        "((event_id * 2246822519 + 3266489917) % 4294967296) / 4294967296E0 * 170E0 - 85E0 AS lat "
+        "FROM exy), q AS (SELECT event_id AS qid, lon AS qlon, lat AS qlat FROM pts "
+        "WHERE event_id < 20), t AS (SELECT * FROM pts WHERE event_id >= 20), "
+        "cand AS (SELECT qid, event_id, round((qlon - lon) * (qlon - lon) + "
+        "(qlat - lat) * (qlat - lat), 8) AS d2 FROM q, t), "
+        "r AS (SELECT qid, event_id, d2, row_number() OVER (PARTITION BY qid "
+        "ORDER BY d2 ASC, event_id ASC) AS rk FROM cand) "
+        "SELECT qid, rk, event_id, d2 FROM r WHERE rk <= 3",
         "tpch_q1ish": "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 4) AS sum_qty, "
         "round(sum(l_extendedprice), 4) AS sum_base_price, "

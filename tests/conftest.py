@@ -141,6 +141,18 @@ def options_to_config(options: str, maxzoom_default: int = 14):
             cfg.exclude_all = True
             i += 1
             continue
+        if t == "-j" or t == "--feature-filter":
+            import json as _json
+
+            cfg.feature_filter = _json.loads(toks[i + 1])
+            i += 2
+            continue
+        if t == "-J" or t == "--feature-filter-file":
+            import json as _json
+
+            cfg.feature_filter = _json.loads(open(toks[i + 1]).read())
+            i += 2
+            continue
         if t == "-T" or t == "--attribute-type":
             name, ty = toks[i + 1].split(":")
             cfg.attribute_types[name] = ty

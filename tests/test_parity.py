@@ -36,6 +36,19 @@ CASES = [
     ("muni/muni.json", "muni", "-z8", True),
     ("accumulate/in.json", "in", "-z4 -E thesum:sum -E themax:max", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8", True),
+    ("feature-filter/in.json", "in", "-z0 -J /root/reference/tests/feature-filter/filter", False),
+    ("attribute-type/in.json", "in",
+     "-z2 -T booltype:bool -T stringtype:string -T inttype:int -T floattype:float", True),
+    ("minzoom/in.json", "in", "-z6 -b0", True),
+    ("minzoom/in.json", "in", "-z6 -d10", True),
+    ("muni/muni.json", "muni", "-z6 -g1", True),
+    ("muni/muni.json", "muni", "-z6 -g2.5", True),
+    ("muni/muni.json", "muni", "-z6 -K50", True),
+    ("muni/muni.json", "muni", "-z6 -x name", True),
+    ("muni/muni.json", "muni", "-z6 --generate-ids", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -S4", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 --no-line-simplification", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -E LINEARID:concat", True),
 ]
 
 

@@ -220,19 +220,33 @@ def coerce_value(key: str, vtype: int, sval: str, attribute_types: dict):
     if want == "string":
         return T_STRING, sval
     if want == "float":
-        return T_DOUBLE, sval
+        return T_DOUBLE, dtoa_milo(_c_atof(sval))
     if want == "int":
-        if vtype == T_BOOL:
-            return T_DOUBLE, "1" if sval == "true" else "0"
-        try:
-            return T_DOUBLE, str(int(float(sval)))
-        except ValueError:
+        if sval == "":
             return T_DOUBLE, "0"
+        if any(c < "0" or c > "9" for c in sval):
+            # std::to_string(round(atof(val))) — fixed 6 decimals
+            return T_DOUBLE, "%.6f" % _c_round(_c_atof(sval))
+        return T_DOUBLE, sval
     if want == "bool":
-        if sval in ("false", "0", "null", "") or (vtype == T_DOUBLE and float(sval) == 0.0):
+        if sval in ("false", "0", "null", "") or (vtype == T_DOUBLE and _c_atof(sval) == 0.0):
             return T_BOOL, "false"
         return T_BOOL, "true"
     return vtype, sval
+
+
+def _c_atof(s: str) -> float:
+    import re
+
+    m = re.match(r"\s*[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|inf(inity)?|nan)", s, re.I)
+    return float(m.group(0)) if m else 0.0
+
+
+def _c_round(v: float) -> float:
+    """C round(): ties away from zero (Python round is banker's)."""
+    import math as _m
+
+    return _m.floor(v + 0.5) if v >= 0 else _m.ceil(v - 0.5)
 
 
 def parse_feature_id(idval, convert_stringified: bool):

@@ -103,21 +103,25 @@ def children_of(bbox_rel, z, nextzoom, buffer):
 
 
 def manage_gap(index, previndex, scale, gamma, gap):
-    """tile.cpp:529-559 — returns (drop, previndex, gap)."""
+    """tile.cpp:529-559 — returns (drop, previndex, gap).  previndex is
+    only advanced on kept dots (the reference returns early on drops,
+    skipping the *previndex = index assignment)."""
     if gamma > 0:
         if gap > 0:
             if index == previndex:
-                return True, previndex, gap
+                return True, previndex, gap  # exact duplicate
             if index < previndex or math.exp(math.log((index - previndex) / scale) * gamma) >= gap:
                 gap = 0.0
             else:
                 return True, previndex, gap
         elif index >= previndex:
             gap = (index - previndex) / scale
+            if gap == 0:
+                return True, previndex, gap  # exact duplicate
             if gap < 1:
-                return True, index, gap
+                return True, previndex, gap  # narrow spacing: stretch out
             gap = 0.0
-            return False, index, gap
+        return False, index, gap
     return False, index, gap
 
 
@@ -220,6 +224,38 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
             continue
         if row["tp_maxzoom"] != -1 and z > row["tp_maxzoom"]:
             continue
+
+        # -j feature filter against typed attrs + pseudo-attrs
+        # (tile.cpp:1363-1421)
+        if cfg.feature_filter is not None:
+            from ..filtering import evaluate, feature_attributes
+
+            exclude_attributes = set()
+            attrs = feature_attributes(row, z)
+            if not evaluate(attrs, row["layer"], cfg.feature_filter, exclude_attributes):
+                continue
+            if exclude_attributes:
+                row = dict(row)
+                kept = [
+                    (k, vt, sv)
+                    for k, vt, sv in zip(row["keys"], row["vtypes"], row["values"])
+                    if k not in exclude_attributes
+                ]
+                row["keys"] = [k for k, _, _ in kept]
+                row["vtypes"] = [v for _, v, _ in kept]
+                row["values"] = [s for _, _, s in kept]
+
+        # null attributes removed after the filter ran (tile.cpp:1428-1442)
+        if M.T_NULL in row["vtypes"]:
+            row = dict(row)
+            kept = [
+                (k, vt, sv)
+                for k, vt, sv in zip(row["keys"], row["vtypes"], row["values"])
+                if vt != M.T_NULL
+            ]
+            row["keys"] = [k for k, _, _ in kept]
+            row["vtypes"] = [v for _, v, _ in kept]
+            row["values"] = [s for _, _, s in kept]
 
         # NOTE: no empty-geometry skip here — the reference runs features
         # whose geometry clipped away through the whole drop ladder so
