@@ -82,3 +82,52 @@ def test_dateline_union():
     ref = run_reference(path, "-z5")
     ours = run_ours(path, "-z5", layer="in")
     assert_tilesets_equal(ref, ours, require_bytes=False, canonical_rings=True)
+
+
+@requires_reference
+def test_geocsv_parity():
+    """GeoCSV source vs reference: same csv fixture, -z4."""
+    from tippecanoe_spark.io.geocsv import geocsv_features
+    from tippecanoe_spark.pipeline import build_tiles_local
+    from .conftest import options_to_config
+
+    path = f"{REF_TESTS}/csv/ne_110m_populated_places_simple.csv"
+    ref = run_reference(path, "-z4")
+    cfg = options_to_config("-z4")
+    feats = geocsv_features(open(path).read(), "ne_110m_populated_places_simple", cfg)
+    ours = build_tiles_local(feats, cfg)
+    assert_tilesets_equal(ref, ours, require_bytes=True)
+
+
+@requires_reference
+@pytest.mark.parametrize("fixture,layer,mz", [
+    ("minzoom/in.json", "in", 6),
+    ("stringid/in.json", "in", 2),
+    ("muni/muni.json", "muni", 6),
+    ("tl_2018_51685_roads/in.json", "in", 8),
+])
+def test_metadata_parity(fixture, layer, mz):
+    """mbtiles metadata incl. the vector_layers+tilestats json blob is
+    byte-identical (mbtiles.cpp:117-553)."""
+    import sqlite3
+    import subprocess
+    import tempfile
+
+    from tippecanoe_spark.operators.stats import build_metadata
+    from tippecanoe_spark.pipeline import build_tiles_local
+    from tippecanoe_spark.io.geojson import feature_records
+    from .conftest import REFBIN, options_to_config
+
+    path = f"{REF_TESTS}/{fixture}"
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/o.mbtiles"
+        subprocess.run([REFBIN, "-q", "-f", "-o", out, f"-z{mz}", path],
+                       check=True, capture_output=True)
+        refmeta = dict(sqlite3.connect(out).execute("select name, value from metadata"))
+    cfg = options_to_config(f"-z{mz}")
+    feats = feature_records(open(path).read(), layer, cfg)
+    tiles = build_tiles_local([dict(f) for f in feats], cfg)
+    meta = build_metadata(feats, tiles, cfg, name="x")
+    for k in ("version", "minzoom", "maxzoom", "bounds", "center", "type",
+              "format", "json"):
+        assert meta[k] == refmeta.get(k), f"{k}: {refmeta.get(k)!r} vs {meta[k]!r}"
