@@ -115,6 +115,14 @@ def options_to_config(options: str, maxzoom_default: int = 14):
             cfg.low_detail = int(toks[i + 1]) if t == "-D" else int(t[2:])
             i += 2 if t == "-D" else 1
             continue
+        if t == "-M" or (t.startswith("-M") and t[2:].isdigit()):
+            cfg.max_tile_size = int(toks[i + 1]) if t == "-M" else int(t[2:])
+            i += 2 if t == "-M" else 1
+            continue
+        if t == "-O" or (t.startswith("-O") and t[2:].isdigit()):
+            cfg.max_tile_features = int(toks[i + 1]) if t == "-O" else int(t[2:])
+            i += 2 if t == "-O" else 1
+            continue
         if t == "-K" or (t.startswith("-K") and t[2:].isdigit()):
             cfg.cluster_distance = int(toks[i + 1]) if t == "-K" else int(t[2:])
             i += 2 if t == "-K" else 1

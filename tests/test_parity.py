@@ -49,6 +49,15 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z8 -S4", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8 --no-line-simplification", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8 -E LINEARID:concat", True),
+    ("muni/muni.json", "muni", "-z6 -M2000 --drop-densest-as-needed", True),
+    ("muni/muni.json", "muni", "-z6 -O50 --drop-fraction-as-needed", True),
+    ("muni/muni.json", "muni", "-z6 -O50 --cluster-densest-as-needed", True),
+    ("muni/muni.json", "muni", "-z6 -O80 --coalesce-densest-as-needed", True),
+    ("muni/muni.json", "muni", "-z6 -O150 --increase-gamma-as-needed", True),
+    ("muni/muni.json", "muni", "-z6 -O50 --cluster-densest-as-needed -E name:comma", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --drop-smallest-as-needed", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --coalesce-smallest-as-needed", False),
+    ("muni/muni.json", "muni", "-z6 -O60 --drop-densest-as-needed --extend-zooms-if-still-dropping", True),
 ]
 
 

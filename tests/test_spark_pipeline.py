@@ -72,3 +72,18 @@ def test_pages_extract_and_text_invariant(spark):
     assert verify_text_invariant(spark, pages) == 0
     feats = extract_features_df(spark, pages, cfg)
     assert feats.count() == 300
+
+
+def test_spark_as_needed_matches_local(spark):
+    """2-pass zoom-global ratchet on the Spark path == local == reference."""
+    from tests.conftest import options_to_config
+    from tippecanoe_spark.io.geojson import feature_records
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
+
+    cfg = options_to_config("-z8 -O60 --drop-densest-as-needed")
+    feats = _muni_feats(cfg)
+    local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+    df = spark.createDataFrame(features_to_pdf(feats))
+    got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+           for r in build_tiles(spark, df, cfg).collect()}
+    assert got == local_tiles

@@ -73,6 +73,7 @@ class TileConfig:
     use_hilbert: bool = False        # --hilbert
 
     clip_bboxes: list = field(default_factory=list)  # --clip-bounding-box
+    geometry_scale_override: int = -1  # frozen when --extend-zooms grows maxzoom
 
     def __post_init__(self):
         if self.basezoom < 0:
@@ -80,7 +81,12 @@ class TileConfig:
 
     @property
     def geometry_scale(self) -> int:
-        """main.cpp:3123: 32 - (full_detail + maxzoom), floored at 0."""
+        """main.cpp:3123: 32 - (full_detail + maxzoom), floored at 0.
+        Computed ONCE at startup in the reference; when --extend-zooms
+        grows maxzoom mid-run the scale does not change (the override
+        pins it)."""
+        if self.geometry_scale_override >= 0:
+            return self.geometry_scale_override
         gs = 32 - (self.full_detail + self.maxzoom)
         return max(gs, 0)
 

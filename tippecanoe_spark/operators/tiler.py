@@ -134,15 +134,19 @@ def _geom_rel_bbox(ops, xs, ys):
 
 def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
                  emit_children=True):
-    """Process one tile's features.
+    """Process one tile's features — write_tile (tile.cpp:1718-2538).
 
-    rows: list of dicts (already sorted by (ix, seq)) with world-snapped
-    geometry arrays.  Returns (tile_bytes_or_None, child_rows, stats).
+    Returns (tile_bytes_or_None, child_rows, stats); stats carries the
+    discovered zoom-global ratchet values (gamma_out / mingap_out /
+    minextent_out / fraction_out / still_dropping) for the 2-pass
+    as-needed protocol (traverse_zooms, tile.cpp:2778-2880).
 
-    pass_params carries zoom-global discovered drop parameters
-    (mingap/minextent/fraction/gamma) for the 2-pass as-needed modes.
-    With emit_children=False the rewrite fan-out is skipped (the Spark
-    pipeline computes fan-out map-side in fanout_pdf).
+    The retry ladder mirrors tile.cpp:2332-2520: on feature-count or
+    compressed-size overflow, raise gamma x1.25 / choose_mingap /
+    choose_minextent / shrink fraction (in that order per the enabled
+    modes), else reduce detail.  pass_params carries zoom-global
+    starting parameters.  emit_children=False skips the rewrite fan-out
+    (the Spark pipeline fans out map-side in fanout_pdf).
     """
     buffer = cfg.buffer
     gs = cfg.geometry_scale
@@ -160,34 +164,25 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
         mingap = pass_params.get("mingap", 0)
         minextent = pass_params.get("minextent", 0)
         fraction = pass_params.get("fraction", 1.0)
-    if cfg.cluster_distance != 0:
-        # tile.cpp:2787
+    elif cfg.cluster_distance != 0:
+        # zoom_mingap initialization (tile.cpp:2787)
         mingap = max(mingap, ((1 << (32 - z)) // 256 * cfg.cluster_distance) ** 2)
 
-    children = []
-    partials = []
-    previndex = 0
-    gap = 0.0
-    merge_previndex = 0
-    fraction_accum = 0.0
-    accum_area = 0.0
-    coalesced_area = 0
-    indices = []
-    extents = []
-    density_previndex = 0
-    density_gap = 0.0
-    scale_z = float(1 << (64 - 2 * (z + 8)))  # drop_state.scale (main.cpp:1002)
+    stats = {"gamma_out": 0.0, "mingap_out": 0, "minextent_out": 0,
+             "fraction_out": 1.0, "still_dropping": False, "features": 0,
+             "indices": [], "extents": []}
 
+    # ---- clip + fan-out + gates: independent of retry parameters ----
+    clipped = []
+    children = []
     for row in rows:
         t = row["t"]
         ops = row["ops"]
-        # tile-relative coordinates
         xs = row["xs"] - origin_x
         ys = row["ys"] - origin_y
         bbox = _geom_rel_bbox(ops, xs, ys)
         if bbox is None:
             continue
-
         ops, xs, ys, skip = clip_to_tile(
             ops, xs, ys, t, z, buffer, bbox,
             no_clipping=cfg.no_clipping, no_duplication=cfg.no_duplication,
@@ -200,7 +195,6 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
             if row["tp_maxzoom"] == -1 or row["tp_maxzoom"] >= nextzoom:
                 xr, yr = children_of(bbox, z, nextzoom, buffer)
                 span = 1 << (nextzoom - z)
-                # child geometry: re-snapped world coordinates
                 cxs = xs + origin_x
                 cys = ys + origin_y
                 if gs > 0:
@@ -225,8 +219,7 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
         if row["tp_maxzoom"] != -1 and z > row["tp_maxzoom"]:
             continue
 
-        # -j feature filter against typed attrs + pseudo-attrs
-        # (tile.cpp:1363-1421)
+        # -j feature filter (tile.cpp:1363-1421)
         if cfg.feature_filter is not None:
             from ..filtering import evaluate, feature_attributes
 
@@ -257,6 +250,171 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
             row["vtypes"] = [v for _, v, _ in kept]
             row["values"] = [s for _, _, s in kept]
 
+        clipped.append((row, ops, xs, ys, t))
+
+    # ---- retry ladder (the write_tile line_detail loop) ----
+    mingap_fraction = 1.0
+    minextent_fraction = 1.0
+    line_detail = detail
+    while line_detail >= cfg.min_detail or line_detail == detail:
+        tile, total_features, indices, extents = _ladder_pass(
+            clipped, z, cfg, line_detail, gamma, mingap, minextent, fraction)
+        stats["indices"] = indices
+        stats["extents"] = extents
+
+        if total_features == 0 or not tile.layers:
+            return None, children, stats
+
+        if total_features > cfg.max_tile_features and not cfg.no_feature_limit:
+            upd = _retry_step(cfg, total_features, cfg.max_tile_features,
+                              total_features, len(tile.layers), gamma, mingap,
+                              minextent, fraction, mingap_fraction,
+                              minextent_fraction, indices, extents, stats)
+            if upd is None:
+                raise ValueError(
+                    f"tile {z}/{tx}/{ty}: {total_features} features; try "
+                    "--drop-fraction-as-needed or --drop-densest-as-needed")
+            (gamma, mingap, minextent, fraction,
+             mingap_fraction, minextent_fraction, handled) = upd
+            if handled:
+                continue
+            raise ValueError(
+                f"tile {z}/{tx}/{ty}: {total_features} features; try "
+                "--drop-fraction-as-needed or --drop-densest-as-needed")
+
+        raw = M.encode_tile(tile)
+        compressed = raw if cfg.no_tile_compression else M.gzip_tile(raw)
+
+        if len(compressed) > cfg.max_tile_size and not cfg.no_tile_size_limit:
+            upd = _retry_step(cfg, len(compressed), cfg.max_tile_size,
+                              total_features, len(tile.layers), gamma, mingap,
+                              minextent, fraction, mingap_fraction,
+                              minextent_fraction, indices, extents, stats)
+            if upd is not None:
+                (gamma, mingap, minextent, fraction,
+                 mingap_fraction, minextent_fraction, handled) = upd
+                if handled:
+                    continue
+            line_detail -= 1  # detail-reduction fallback (tile.cpp:1752)
+            continue
+
+        stats["features"] = total_features
+        return compressed, children, stats
+
+    raise ValueError(f"could not make tile {z}/{tx}/{ty} small enough")
+
+
+_ULONG_MAX = (1 << 64) - 1
+
+
+def _retry_step(cfg: TileConfig, actual, limit, totalsize, n_layers, gamma,
+                mingap, minextent, fraction, mingap_fraction,
+                minextent_fraction, indices, extents, stats):
+    """One as-needed adjustment (tile.cpp:2344-2416 / 2438-2509).
+
+    Returns (gamma, mingap, minextent, fraction, mingap_fraction,
+    minextent_fraction, handled) or None when no strategy applies."""
+    if cfg.increase_gamma and gamma < 10:
+        gamma = 1.0 if gamma < 1 else gamma * 1.25
+        if gamma > stats["gamma_out"]:
+            stats["gamma_out"] = gamma
+            stats["still_dropping"] = True
+        return (gamma, mingap, minextent, fraction, mingap_fraction,
+                minextent_fraction, True)
+    if mingap < _ULONG_MAX and (cfg.drop_densest or cfg.coalesce_densest or cfg.cluster_densest):
+        mingap_fraction = mingap_fraction * limit / actual * 0.90
+        mg = choose_mingap(indices, mingap_fraction)
+        if mg <= mingap:
+            nmg = (mingap + 1) * 1.5
+            if nmg <= mingap or nmg > _ULONG_MAX:
+                mg = _ULONG_MAX
+            else:
+                mg = int(nmg)
+                if mg <= mingap:
+                    mg = _ULONG_MAX
+        mingap = mg
+        if mingap > stats["mingap_out"]:
+            stats["mingap_out"] = mingap
+            stats["still_dropping"] = True
+        return (gamma, mingap, minextent, fraction, mingap_fraction,
+                minextent_fraction, True)
+    if cfg.drop_smallest or cfg.coalesce_smallest:
+        minextent_fraction = minextent_fraction * limit / actual * 0.90
+        m = choose_minextent(extents, minextent_fraction)
+        if m != minextent:
+            minextent = m
+            if minextent > stats["minextent_out"]:
+                stats["minextent_out"] = minextent
+                stats["still_dropping"] = True
+            return (gamma, mingap, minextent, fraction, mingap_fraction,
+                    minextent_fraction, True)
+        return (gamma, mingap, minextent, fraction, mingap_fraction,
+                minextent_fraction, False)
+    if totalsize > n_layers and (cfg.drop_fraction or cfg.coalesce_fraction):
+        fraction = fraction * limit / actual * 0.95
+        if fraction < stats["fraction_out"]:
+            stats["fraction_out"] = fraction
+            stats["still_dropping"] = True
+        return (gamma, mingap, minextent, fraction, mingap_fraction,
+                minextent_fraction, True)
+    return None
+
+
+def choose_mingap(indices, f):
+    """tile.cpp:1131-1169: binary search over gap space so ~f of the
+    (arrival-ordered) indices survive the mingap filter."""
+    bot = _ULONG_MAX
+    top = 0
+    for i in range(1, len(indices)):
+        if indices[i] >= indices[i - 1]:
+            gap = indices[i] - indices[i - 1]
+            if gap > top:
+                top = gap
+            if gap < bot:
+                bot = gap
+    want = int(len(indices) * f)
+    while top - bot > 2:
+        guess = bot // 2 + top // 2
+        count = 0
+        prev = 0
+        for ix in indices:
+            if ix - prev >= guess:
+                count += 1
+                prev = ix
+        if count > want:
+            bot = guess
+        elif count < want:
+            top = guess
+        else:
+            return guess
+    return top
+
+
+def choose_minextent(extents, f):
+    """tile.cpp:1171-1174."""
+    ex = sorted(extents)
+    return ex[int((len(ex) - 1) * (1 - f))]
+
+
+def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
+                 minextent, fraction):
+    """One iteration of the per-tile drop ladder + simplify + assembly
+    (the body of the write_tile retry loop, tile.cpp:1754-2330).
+    Returns (MvtTile, total_features, indices, extents)."""
+    partials = []
+    previndex = 0
+    gap = 0.0
+    merge_previndex = 0
+    fraction_accum = 0.0
+    accum_area = 0.0
+    coalesced_area = 0
+    indices = []
+    extents = []
+    density_previndex = 0
+    density_gap = 0.0
+    scale_z = float(1 << (64 - 2 * (z + 8)))  # drop_state.scale (main.cpp:1002)
+
+    for (row, ops, xs, ys, t) in clipped:
         # NOTE: no empty-geometry skip here — the reference runs features
         # whose geometry clipped away through the whole drop ladder so
         # their attributes still fold into survivors (write_tile has no
@@ -548,17 +706,8 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
             tile.layers.append(layer)
             total_features += len(layer.features)
 
-    tile_bytes = None
-    if total_features > 0 and tile.layers:
-        raw = M.encode_tile(tile)
-        tile_bytes = raw if cfg.no_tile_compression else M.gzip_tile(raw)
 
-    stats = {
-        "features": total_features,
-        "indices": indices,
-        "extents": extents,
-    }
-    return tile_bytes, children, stats
+    return tile, total_features, indices, extents
 
 
 def _line_is_too_small(ops, xs, ys, z, detail):

@@ -70,21 +70,71 @@ def assign_minzoom_local(features: list, cfg: TileConfig, mode: str = "exact") -
 # local runner
 
 
+def _zoom_params_init(z: int, cfg: TileConfig) -> dict:
+    """Per-zoom starting ratchet values (traverse_zooms, tile.cpp:2785-2789)."""
+    cd = (1 << (32 - z)) // 256 * cfg.cluster_distance
+    return {"gamma": cfg.gamma, "mingap": cd * cd, "minextent": 0, "fraction": 1.0}
+
+
+def _merge_zoom_stats(params: dict, stats: dict) -> None:
+    if stats["gamma_out"] > params["gamma"]:
+        params["gamma"] = stats["gamma_out"]
+    if stats["mingap_out"] > params["mingap"]:
+        params["mingap"] = stats["mingap_out"]
+    if stats["minextent_out"] > params["minextent"]:
+        params["minextent"] = stats["minextent_out"]
+    if stats["fraction_out"] < params["fraction"]:
+        params["fraction"] = stats["fraction_out"]
+
+
 def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exact"):
-    """BFS the zoom pyramid locally.  Returns {(z, x, y): tile_bytes}."""
+    """BFS the zoom pyramid locally.  Returns {(z, x, y): tile_bytes}.
+
+    With any as-needed mode, each zoom runs TWO passes (tile.cpp:2778-
+    2880): pass 0 discovers the zoom-global drop parameters (max of
+    per-tile gamma/mingap/minextent, min of fraction), pass 1 writes."""
     assign_minzoom_local(features, cfg, minzoom_mode)
+    import copy as _copy
+
+    if cfg.extend_zooms:
+        cfg = _copy.deepcopy(cfg)  # maxzoom grows; don't mutate the caller's
+        cfg.geometry_scale_override = cfg.geometry_scale  # frozen (main.cpp:3123)
     tiles = {}
     current = {(0, 0): features}
-    for z in range(0, cfg.maxzoom + 1):
+    z = 0
+    maxzoom = cfg.maxzoom
+    while z <= maxzoom:
+        params = _zoom_params_init(z, cfg)
+        still_dropping = False
+        if cfg.any_as_needed:
+            # every pass-0 tile starts from the SAME initial zoom params;
+            # discoveries merge only after the pass (tile.cpp:2852-2880)
+            init = dict(params)
+            for (tx, ty), rows in sorted(current.items()):
+                rows.sort(key=lambda f: (f["ix"] if f["ix"] >= 0 else f["ix"] + (1 << 64), f["seq"]))
+                _tb, _ch, stats = process_tile(rows, z, tx, ty, cfg,
+                                               pass_params=dict(init),
+                                               emit_children=False)
+                _merge_zoom_stats(params, stats)
+                still_dropping = still_dropping or stats["still_dropping"]
         nxt = {}
         for (tx, ty), rows in sorted(current.items()):
             rows.sort(key=lambda f: (f["ix"] if f["ix"] >= 0 else f["ix"] + (1 << 64), f["seq"]))
-            tile_bytes, children, _stats = process_tile(rows, z, tx, ty, cfg)
+            # pass-1 tiles all run with the SAME zoom-global params; a
+            # tile's own retry ratchet stays local (threads share nothing
+            # during a pass, tile.cpp:2792-2880)
+            tile_bytes, children, stats = process_tile(
+                rows, z, tx, ty, cfg, pass_params=dict(params))
+            still_dropping = still_dropping or stats["still_dropping"]
             if tile_bytes is not None and z >= cfg.minzoom:
                 tiles[(z, tx, ty)] = tile_bytes
             for ch in children:
                 nxt.setdefault((ch.pop("tile_x"), ch.pop("tile_y")), []).append(ch)
+        if cfg.extend_zooms and z == maxzoom and still_dropping and maxzoom < 24:
+            maxzoom += 1
+            cfg.maxzoom = maxzoom  # detail_at/maxzoom-dependent gates follow
         current = nxt
+        z += 1
         if not current:
             break
     return tiles
@@ -209,7 +259,7 @@ def _sort_rows_by_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.iloc[order]
 
 
-def _make_encode_processor(cfg: TileConfig, prefilter: bool):
+def _make_encode_processor(cfg: TileConfig, prefilter: bool, pass_params: dict | None = None):
     """Shard group function: encode every (z, tile) run in the shard.
 
     The fan-out is NOT done here (see fanout_pdf) — this branch only runs
@@ -291,6 +341,7 @@ def _make_encode_processor(cfg: TileConfig, prefilter: bool):
             else:
                 tile_bytes, _children, _stats = process_tile(
                     slow_rows[slow_pos: slow_pos + cnt], z, tx, ty, cfg,
+                    pass_params=dict(pass_params) if pass_params else None,
                     emit_children=False)
                 slow_pos += cnt
                 if tile_bytes is not None:
@@ -457,10 +508,68 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     if checkpoint_dir is not None:
         allz = allz.checkpoint(eager=False)
 
-    enc = _make_encode_processor(cfg, prefilter)
     shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
-    return (
-        allz.withColumn("_shard", shard)
-        .groupBy("_shard")
-        .applyInPandas(enc, schema=TILES_SCHEMA_DDL)
-    )
+
+    if not cfg.any_as_needed:
+        enc = _make_encode_processor(cfg, prefilter)
+        return (
+            allz.withColumn("_shard", shard)
+            .groupBy("_shard")
+            .applyInPandas(enc, schema=TILES_SCHEMA_DDL)
+        )
+
+    # as-needed modes: two encode passes per zoom with the zoom-global
+    # parameter ratchet collected on the driver between them
+    # (traverse_zooms, tile.cpp:2778-2880)
+    if cfg.extend_zooms:
+        raise NotImplementedError("--extend-zooms on the Spark path: use build_tiles_local")
+    allz = allz.persist()
+    tile_dfs = []
+    for z in range(cfg.minzoom, cfg.maxzoom + 1):
+        sub = allz.filter(F.col("_z") == z).withColumn("_shard", shard)
+        params = _zoom_params_init(z, cfg)
+        stats_fn = _make_pass0_processor(cfg, z, params)
+        srows = sub.groupBy("_shard").applyInPandas(
+            stats_fn,
+            schema="gamma_out double, mingap double, minextent long, fraction double",
+        ).collect()
+        for r in srows:
+            _merge_zoom_stats(params, {
+                "gamma_out": r["gamma_out"], "mingap_out": int(r["mingap"]),
+                "minextent_out": r["minextent"], "fraction_out": r["fraction"]})
+        enc = _make_encode_processor(cfg, False, pass_params=dict(params))
+        tile_dfs.append(
+            sub.groupBy("_shard").applyInPandas(enc, schema=TILES_SCHEMA_DDL))
+    out = tile_dfs[0]
+    for t in tile_dfs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _make_pass0_processor(cfg: TileConfig, z: int, params: dict):
+    """Pass-0 discovery: run every tile's ladder without writing, emit
+    the per-shard ratchet maxima."""
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_shard"])
+        pdf = _sort_rows_by_tile(pdf)
+        rows = _pdf_rows_to_dicts(pdf)
+        txs = pdf["tile_x"].to_numpy()
+        tys = pdf["tile_y"].to_numpy()
+        n = len(rows)
+        bounds = [0] + [i for i in range(1, n) if txs[i] != txs[i - 1] or tys[i] != tys[i - 1]] + [n]
+        agg = {"gamma_out": 0.0, "mingap_out": 0, "minextent_out": 0, "fraction_out": 1.0}
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            _tb, _ch, stats = process_tile(
+                rows[lo:hi], z, int(txs[lo]), int(tys[lo]), cfg,
+                pass_params=dict(params), emit_children=False)
+            for k in ("gamma_out", "mingap_out", "minextent_out"):
+                if stats[k] > agg[k]:
+                    agg[k] = stats[k]
+            if stats["fraction_out"] < agg["fraction_out"]:
+                agg["fraction_out"] = stats["fraction_out"]
+        return pd.DataFrame([(agg["gamma_out"], float(agg["mingap_out"]),
+                              agg["minextent_out"], agg["fraction_out"])],
+                            columns=["gamma_out", "mingap", "minextent", "fraction"])
+
+    return fn
