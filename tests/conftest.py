@@ -82,6 +82,20 @@ def options_to_config(options: str, maxzoom_default: int = 14):
     }
     while i < len(toks):
         t = toks[i]
+        if t == "-zg":
+            cfg.maxzoom = 24
+            cfg.guess_maxzoom_flag = True
+            i += 1
+            continue
+        if t == "-Bg":
+            cfg.basezoom = -2
+            explicit_basezoom = True
+            i += 1
+            continue
+        if t == "-rg":
+            cfg.droprate = -2.0
+            i += 1
+            continue
         if t == "-z" or t.startswith("-z") and t[2:].isdigit():
             cfg.maxzoom = int(toks[i + 1]) if t == "-z" else int(t[2:])
             i += 2 if t == "-z" else 1
@@ -172,7 +186,10 @@ def options_to_config(options: str, maxzoom_default: int = 14):
             continue
         raise ValueError(f"unsupported option in test: {t}")
     if not explicit_basezoom:
-        cfg.basezoom = cfg.maxzoom  # -B defaults to maxzoom (main.cpp:3075)
+        if cfg.guess_maxzoom_flag:
+            cfg.basezoom = -1  # resolved after guessing
+        else:
+            cfg.basezoom = cfg.maxzoom  # -B defaults to maxzoom (main.cpp:3117)
     return cfg
 
 
@@ -193,6 +210,11 @@ def run_ours(input_path: str, options: str, layer: str | None = None) -> dict:
     else:
         text = open(input_path).read()
     feats = feature_records(text, layer, cfg)
+    if cfg.guess_maxzoom_flag or cfg.basezoom < 0 or cfg.droprate < 0:
+        from tippecanoe_spark.operators.guess import resolve_guesses
+
+        resolve_guesses(feats, cfg, cfg.guess_maxzoom_flag,
+                        cfg.basezoom, cfg.droprate)
     return build_tiles_local(feats, cfg)
 
 

@@ -58,6 +58,12 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --drop-smallest-as-needed", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --coalesce-smallest-as-needed", False),
     ("muni/muni.json", "muni", "-z6 -O60 --drop-densest-as-needed --extend-zooms-if-still-dropping", True),
+    ("muni/muni.json", "muni", "-zg", True),
+    ("muni/muni.json", "muni", "-zg --drop-densest-as-needed", True),
+    ("tl_2018_51685_roads/in.json", "in", "-zg", True),
+    ("muni/muni.json", "muni", "-z8 -Bg", True),
+    ("muni/muni.json", "muni", "-z8 -rg", True),
+    ("muni/muni.json", "muni", "-z8 -Bg -g1", True),
 ]
 
 

@@ -74,6 +74,7 @@ class TileConfig:
 
     clip_bboxes: list = field(default_factory=list)  # --clip-bounding-box
     geometry_scale_override: int = -1  # frozen when --extend-zooms grows maxzoom
+    guess_maxzoom_flag: bool = False   # -zg (resolved by operators.guess)
 
     def __post_init__(self):
         if self.basezoom < 0:
