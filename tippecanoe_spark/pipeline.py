@@ -479,11 +479,15 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     from .operators.tiler import can_prefilter_dropped, fanout_pdf
 
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
-    # the fmz pass leaves data range-partitioned by ix (spatially
-    # clustered) — rebalance before the cascade, whose fan-out cost is
-    # proportional to local feature density (per-feature, order-free)
     par = spark.sparkContext.defaultParallelism
-    df = df.repartition(par * 2)
+    import os as _os
+
+    if _os.environ.get("TS_CASCADE_REBALANCE", "1") == "1":
+        # the fmz pass leaves data range-partitioned by ix (spatially
+        # clustered) — rebalance before the cascade, whose fan-out cost
+        # is proportional to local feature density (per-feature,
+        # order-free)
+        df = df.repartition(par * 2)
 
     n_shards = max(par * 8, 16)
     prefilter = can_prefilter_dropped(cfg)

@@ -9,6 +9,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "tippecanoe-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # make the package importable on executor python workers regardless
+    # of the caller's cwd (local-mode workers inherit PYTHONPATH)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
