@@ -321,6 +321,32 @@ def q_minhash_bands(spark, sf_dir):
     return cand.groupBy("bucket").agg(F.count("*").alias("n_buckets"))
 
 
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash near-dup fingerprint, exact in both engines:
+    per token, md5 -> 64 bits; signature bit b = sign of sum over
+    tokens of (bit set ? +1 : -1).  Computed via explode + integer
+    aggregation (first 16 hex chars of md5 as the 64-bit source)."""
+    docs = _load(spark, sf_dir, "documents")
+    tok = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS w"
+    ).selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h60",
+    )
+    # 60-bit budget (15 hex chars) keeps conv() exact in both engines
+    bits = tok.selectExpr(
+        "doc_id", "h60", "explode(sequence(0, 59)) AS b"
+    ).selectExpr(
+        "doc_id", "b",
+        "CASE WHEN (h60 >> b) & 1 = 1 THEN 1 ELSE -1 END AS v",
+    )
+    sig = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))               .selectExpr("doc_id", "b", "CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit")
+    # CAST: Spark's << on INT wraps at 32 bits
+    out = sig.selectExpr("doc_id", "CAST(bit AS BIGINT) << b AS piece") \
+             .groupBy("doc_id").agg(F.sum("piece").alias("simhash"))
+    return out
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """exact word-bigram Jaccard for candidate pairs (doc_id < 50 vs
     doc_id < 50) — integer set counting, exact in both engines."""
@@ -493,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stopword_score": q_lang_stopword_score,
         "fingerprint": q_fingerprint,
         "minhash_bands": q_minhash_bands,
+        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
@@ -589,6 +616,14 @@ def oracle_sql() -> dict[str, str]:
         "min(md5('b:' || shingle)) AS mh_b FROM sh GROUP BY 1), "
         "cand AS (SELECT mh_a, count(*) AS bucket FROM mh GROUP BY 1) "
         "SELECT bucket, count(*) AS n_buckets FROM cand GROUP BY 1",
+        "simhash": "WITH tok AS (SELECT doc_id, "
+        "CAST(('0x' || substring(md5(w), 1, 15))::BIGINT AS BIGINT) AS h60 "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), "
+        "bits AS (SELECT doc_id, b, CASE WHEN (h60 >> b) & 1 = 1 THEN 1 ELSE -1 END AS v "
+        "FROM tok, (SELECT unnest(generate_series(0, 59)) AS b)), "
+        "sig AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit "
+        "FROM bits GROUP BY 1, 2) "
+        "SELECT doc_id, sum(bit << b) AS simhash FROM sig GROUP BY 1",
         "ngram_jaccard": "WITH sh AS (SELECT DISTINCT doc_id, "
         "w[i] || ' ' || w[i+1] AS shingle FROM (SELECT doc_id, "
         "string_split(text, ' ') AS w FROM documents WHERE doc_id < 50), "

@@ -64,6 +64,10 @@ CASES = [
     ("muni/muni.json", "muni", "-z8 -Bg", True),
     ("muni/muni.json", "muni", "-z8 -rg", True),
     ("muni/muni.json", "muni", "-z8 -Bg -g1", True),
+    ("muni/muni.json", "muni", "-z6 --hilbert --drop-densest-as-needed -O80", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
 ]
 
 

@@ -624,7 +624,9 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
         feats = layers[layer_name]
 
         if cfg.reorder:
-            feats.sort(key=_coal_sort_key)
+            import functools
+
+            feats.sort(key=functools.cmp_to_key(_coalindexcmp))
 
         # coalesce (-ac) — tile.cpp:2203-2240
         if cfg.coalesce:
@@ -812,24 +814,56 @@ def _atof(s: str) -> float:
 
 
 def _coalcmp(a, b):
-    """coalcmp (tile.cpp:115-169): compare layer, type, id, attrs."""
-    if a["layer"] != b["layer"]:
-        return -1 if a["layer"] < b["layer"] else 1
+    """coalcmp (tile.cpp:115-168): type, has_id, id, pooled attrs
+    (metacmp: key string, value type, value string per position, then
+    count), then full_* attrs."""
     if a["t"] != b["t"]:
         return a["t"] - b["t"]
     if a["has_id"] != b["has_id"]:
-        return -1 if not a["has_id"] else 1
-    if a["has_id"] and a["id"] != b["id"]:
-        return -1 if a["id"] < b["id"] else 1
-    ka = list(zip(a["keys"] + a.get("full_keys", []), a["vtypes"] + a.get("full_vtypes", []), a["values"] + a.get("full_values", [])))
-    kb = list(zip(b["keys"] + b.get("full_keys", []), b["vtypes"] + b.get("full_vtypes", []), b["values"] + b.get("full_values", [])))
-    if ka != kb:
-        return -1 if ka < kb else 1
+        return int(a["has_id"]) - int(b["has_id"])
+    if a["has_id"] and b["has_id"]:
+        if a["id"] != b["id"]:
+            return -1 if a["id"] < b["id"] else 1
+    # metacmp over pooled attrs
+    ka, va, ta = a["keys"], a["values"], a["vtypes"]
+    kb, vb, tb = b["keys"], b["values"], b["vtypes"]
+    for i in range(min(len(ka), len(kb))):
+        if ka[i] != kb[i]:
+            return -1 if ka[i] < kb[i] else 1
+        if ta[i] != tb[i]:
+            return ta[i] - tb[i]
+        if va[i] != vb[i]:
+            return -1 if va[i] < vb[i] else 1
+    if len(ka) != len(kb):
+        return -1 if len(ka) < len(kb) else 1
+    fa = list(zip(a.get("full_keys", []), a.get("full_vtypes", []), a.get("full_values", [])))
+    fb = list(zip(b.get("full_keys", []), b.get("full_vtypes", []), b.get("full_values", [])))
+    if len(fa) != len(fb):
+        return -1 if len(fa) < len(fb) else 1
+    for (k1, t1, v1), (k2, t2, v2) in zip(fa, fb):
+        if k1 != k2:
+            return -1 if k1 < k2 else 1
+        if t1 != t2:
+            return t1 - t2
+        if v1 != v2:
+            return -1 if v1 < v2 else 1
     return 0
 
 
-def _coal_sort_key(p):
-    return (p["t"], p["index"])
+def _coalindexcmp(a, b):
+    """coalindexcmp (tile.cpp:170-188): coalcmp, then index, then the
+    quantized geometry lexicographically with draw< = (y, x)."""
+    cmp = _coalcmp(a, b)
+    if cmp == 0:
+        if a["index"] != b["index"]:
+            return -1 if a["index"] < b["index"] else 1
+        ga = a["out"]
+        gb = b["out"]
+        pa = list(zip(ga[2].tolist(), ga[1].tolist()))  # (y, x)
+        pb = list(zip(gb[2].tolist(), gb[1].tolist()))
+        if pa != pb:
+            return -1 if pa < pb else 1
+    return cmp
 
 
 def _reorder_lines(ops, xs, ys, cfg):
