@@ -485,6 +485,46 @@ def q_knn_brute(spark, sf_dir):
     return cand.withColumn("rk", F.row_number().over(w)).filter("rk <= 3")                .select("qid", "rk", "event_id", "d2")
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """The flagship operator itself: build the z0-8 tile pyramid over
+    event-derived points through the real engine (clip, fan-out, drop
+    ladder, simplify, quantize, MVT+gzip).  Non-SQL-expressible: the
+    driver records the rows-only check for this entry."""
+    import numpy as np
+
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.geojson import import_feature
+    from tippecanoe_spark.pipeline import FEATURE_SCHEMA_DDL, build_tiles, features_to_pdf
+
+    cfg = TileConfig(maxzoom=8)
+    ev = _events_xy(spark, sf_dir).select("event_id", "x32", "y32")
+
+    def to_features(it):
+        import pandas as pd
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                # world ints -> lon/lat via the inverse grid mapping so the
+                # real projection/import path runs
+                lon = r.x32 / 4294967296.0 * 360.0 - 180.0
+                lat_frac = r.y32 / 4294967296.0
+                import math as m
+
+                lat = m.degrees(m.atan(m.sinh(m.pi * (1 - 2 * lat_frac))))
+                rec = import_feature(
+                    [(1, lon, lat)], 1, "events", int(r.event_id), False, 0,
+                    -1, -1, ["eid"], [2], [str(int(r.event_id))], cfg)
+                if rec is not None:
+                    recs.append(rec)
+            if recs:
+                yield features_to_pdf(recs)
+
+    feats = ev.mapInPandas(to_features, schema=FEATURE_SCHEMA_DDL)
+    tiles = build_tiles(spark, feats, cfg)
+    return tiles.selectExpr("z", "x", "y", "length(tile) AS tile_bytes")
+
+
 def q_tpch_q1ish(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -527,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "pip_regions": q_pip_regions,
         "knn_brute": q_knn_brute,
+        "tile_pyramid": q_tile_pyramid,
         "tpch_q1ish": q_tpch_q1ish,
     }
 
