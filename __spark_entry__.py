@@ -123,7 +123,8 @@ def q_zoom_rollup(spark, sf_dir):
     df = _events_xy(spark, sf_dir)
     df = df.selectExpr("x32", "y32", "explode(sequence(0, 8)) AS z")
     return (
-        df.selectExpr("z", "x32 >> (32 - z) AS tx", "y32 >> (32 - z) AS ty")
+        df.selectExpr("CAST(z AS BIGINT) AS z",
+                      "x32 >> (32 - z) AS tx", "y32 >> (32 - z) AS ty")
         .groupBy("z", "tx", "ty").agg(F.count("*").alias("per_tile"))
         .groupBy("z")
         .agg(
@@ -266,7 +267,8 @@ def q_text_quality(spark, sf_dir):
     return docs.selectExpr(
         "doc_id",
         "length(text) - length(replace(text, ' ', '')) + 1 AS tokens",
-        "round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0 / "
+        # 1.0E0: double literal (Spark parses bare 1.0 as DECIMAL(2,1))
+        "round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0E0 / "
         "greatest(length(text), 1), 6) AS token_density",
         "CASE WHEN length(text) >= 64 THEN 1 ELSE 0 END AS long_enough",
     )
@@ -322,10 +324,12 @@ def q_minhash_bands(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash near-dup fingerprint, exact in both engines:
-    per token, md5 -> 64 bits; signature bit b = sign of sum over
-    tokens of (bit set ? +1 : -1).  Computed via explode + integer
-    aggregation (first 16 hex chars of md5 as the 64-bit source)."""
+    """60-bit SimHash near-dup fingerprint, exact in both engines:
+    per token, md5 -> 60 bits (15 hex chars keep conv() exact); bit b of
+    the signature is 1 iff more than half the tokens have bit b set
+    (equivalent to sign of sum of +/-1).  One groupBy with 60 bit-count
+    aggregates — no token x 60 row explosion (scale: rows stay at token
+    count, map-side partial aggregation applies)."""
     docs = _load(spark, sf_dir, "documents")
     tok = docs.selectExpr(
         "doc_id", "explode(split(text, ' ')) AS w"
@@ -333,24 +337,20 @@ def q_simhash(spark, sf_dir):
         "doc_id",
         "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h60",
     )
-    # 60-bit budget (15 hex chars) keeps conv() exact in both engines
-    bits = tok.selectExpr(
-        "doc_id", "h60", "explode(sequence(0, 59)) AS b"
-    ).selectExpr(
-        "doc_id", "b",
-        "CASE WHEN (h60 >> b) & 1 = 1 THEN 1 ELSE -1 END AS v",
+    aggs = [F.expr(f"sum((h60 >> {b}) & 1)").alias(f"s{b}") for b in range(60)]
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    pieces = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(60)
     )
-    sig = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))               .selectExpr("doc_id", "b", "CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit")
-    # CAST: Spark's << on INT wraps at 32 bits
-    out = sig.selectExpr("doc_id", "CAST(bit AS BIGINT) << b AS piece") \
-             .groupBy("doc_id").agg(F.sum("piece").alias("simhash"))
-    return out
+    return agg.selectExpr("doc_id", f"CAST({pieces} AS BIGINT) AS simhash")
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """exact word-bigram Jaccard for candidate pairs (doc_id < 50 vs
-    doc_id < 50) — integer set counting, exact in both engines."""
-    docs = _load(spark, sf_dir, "documents").filter("doc_id < 50")
+    """exact word-bigram Jaccard via inverted-index join (pairs are only
+    generated for docs sharing a shingle, not all-pairs); doc_id < 200 /
+    threshold 0.1 chosen so the sf0.01 corpus yields real pairs (23) —
+    integer set counting, exact in both engines."""
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200")
     sh = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
         "doc_id",
         "explode(array_distinct(transform(sequence(0, size(w) - 2), "
@@ -369,8 +369,8 @@ def q_ngram_jaccard(spark, sf_dir):
         inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
         .selectExpr("d1", "d2", "inter",
-                    "round(inter * 1.0 / (sz1 + sz2 - inter), 6) AS jaccard")
-        .filter("jaccard >= 0.2")
+                    "round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard")
+        .filter("jaccard >= 0.1")
     )
     return out
 
@@ -601,8 +601,9 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT unnest(generate_series(0, 8)) AS z)) , per AS ("
         "SELECT z, x32 >> (32 - z) AS tx, y32 >> (32 - z) AS ty, "
         "count(*) AS per_tile FROM zz GROUP BY 1, 2, 3) "
+        # CAST: DuckDB sum(BIGINT) returns HUGEINT; Spark returns BIGINT
         "SELECT z, count(*) AS tiles, max(per_tile) AS max_per_tile, "
-        "sum(per_tile) AS feats FROM per GROUP BY 1",
+        "CAST(sum(per_tile) AS BIGINT) AS feats FROM per GROUP BY 1",
         "bbox": xy + " SELECT min(x32) AS minx, min(y32) AS miny, "
         "max(x32) AS maxx, max(y32) AS maxy, count(*) AS n FROM exy",
         "center_tile": xy + " SELECT x32 >> 24 AS tx, y32 >> 24 AS ty, "
@@ -613,7 +614,8 @@ def oracle_sql() -> dict[str, str]:
         "attr_join_inner": xy + " SELECT n_name, count(*) AS n FROM exy "
         "JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n "
         "ON (event_id % 25) = n_nationkey GROUP BY 1",
-        "clip_bbox": xy + f" SELECT count(*) AS n, sum(x32) AS sx, sum(y32) AS sy "
+        "clip_bbox": xy + f" SELECT count(*) AS n, CAST(sum(x32) AS BIGINT) AS sx, "
+        f"CAST(sum(y32) AS BIGINT) AS sy "
         f"FROM exy WHERE x32 >= {1 << 30} AND x32 < {3 << 30} "
         f"AND y32 >= {1 << 29} AND y32 < {7 << 29}",
         "drop_fraction": xy + f" , r AS (SELECT event_id, x32 >> 24 AS tx, "
@@ -635,7 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents",
         "text_quality": "SELECT doc_id, "
         "length(text) - length(replace(text, ' ', '')) + 1 AS tokens, "
-        "round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0 / "
+        "round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0E0 / "
         "greatest(length(text), 1), 6) AS token_density, "
         "CASE WHEN length(text) >= 64 THEN 1 ELSE 0 END AS long_enough "
         "FROM documents",
@@ -660,22 +662,24 @@ def oracle_sql() -> dict[str, str]:
         "simhash": "WITH tok AS (SELECT doc_id, "
         "CAST(('0x' || substring(md5(w), 1, 15))::BIGINT AS BIGINT) AS h60 "
         "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), "
-        "bits AS (SELECT doc_id, b, CASE WHEN (h60 >> b) & 1 = 1 THEN 1 ELSE -1 END AS v "
-        "FROM tok, (SELECT unnest(generate_series(0, 59)) AS b)), "
-        "sig AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit "
-        "FROM bits GROUP BY 1, 2) "
-        "SELECT doc_id, sum(bit << b) AS simhash FROM sig GROUP BY 1",
+        "agg AS (SELECT doc_id, count(*) AS n, "
+        + ", ".join(f"CAST(sum((h60 >> {b}) & 1) AS BIGINT) AS s{b}"
+                    for b in range(60))
+        + " FROM tok GROUP BY 1) SELECT doc_id, CAST("
+        + " + ".join(f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)"
+                     for b in range(60))
+        + " AS BIGINT) AS simhash FROM agg",
         "ngram_jaccard": "WITH sh AS (SELECT DISTINCT doc_id, "
         "w[i] || ' ' || w[i+1] AS shingle FROM (SELECT doc_id, "
-        "string_split(text, ' ') AS w FROM documents WHERE doc_id < 50), "
+        "string_split(text, ' ') AS w FROM documents WHERE doc_id < 200), "
         "LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)), "
         "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter "
         "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         "GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1) "
-        "SELECT d1, d2, inter, round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) "
+        "SELECT d1, d2, inter, round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) "
         "AS jaccard FROM inter JOIN sizes s1 ON s1.doc_id = d1 "
         "JOIN sizes s2 ON s2.doc_id = d2 "
-        "WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.2",
+        "WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) >= 0.1",
         "ann_cosine_topk": "WITH q AS (SELECT vec_id AS qid, "
         "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe "
         "FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, "
@@ -687,11 +691,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM q, c), ranked AS (SELECT qid, cid, sim, row_number() OVER ("
         "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
         "SELECT qid, rk, cid, sim FROM ranked WHERE rk <= 3",
+        # CAST nrm: DuckDB list_sum(BIGINT[]) returns HUGEINT
         "embedding_norms": "WITH n AS (SELECT label, "
-        "list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) "
-        "* CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS nrm FROM embeddings) "
-        "SELECT label, count(*) AS n, sum(nrm) AS sum_sq, max(nrm) AS max_sq "
-        "FROM n GROUP BY 1",
+        "CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) "
+        "* CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS nrm FROM embeddings) "
+        "SELECT label, count(*) AS n, CAST(sum(nrm) AS BIGINT) AS sum_sq, "
+        "max(nrm) AS max_sq FROM n GROUP BY 1",
         "events_hourly": "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
         "AS hour_epoch, event_type, count(*) AS n, round(sum(value), 4) AS "
         "sum_value FROM events GROUP BY 1, 2",
