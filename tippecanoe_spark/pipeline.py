@@ -364,8 +364,17 @@ def _empty_tiles_pdf() -> pd.DataFrame:
 
 def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ranks: int = 5_000_000):
     """Distributed feature_minzoom: global eligible-rank by (ix, seq)
-    via range repartition + per-partition offsets (no single-partition
-    window), then rank → minzoom lookup.
+    via quantile-bucketed window + per-bucket offsets (no
+    single-partition window), then rank → minzoom lookup.
+
+    Bucket boundaries are computed once with approxQuantile and baked
+    into the plan as literals, so the bucketing is a deterministic
+    function of the data — recomputation (lost executor, cache
+    eviction) can never shift ranks, unlike repartitionByRange whose
+    sampled boundaries vary per run.  The upstream is cached only for
+    the two setup actions and released before returning; the result is
+    localCheckpoint'ed so downstream passes never re-run the (possibly
+    expensive) extraction lineage.
 
     mode="exact" evaluates the reference's coupled accumulator sequence
     (driver-precomputed, broadcast); falls back to the closed-form rank
@@ -383,63 +392,78 @@ def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ran
     sort_ix = F.col("ix").bitwiseXOR(F.lit(-(1 << 63)).cast("long"))
     df = df.withColumn("_sort_ix", sort_ix)
 
-    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    df = df.repartitionByRange(n_part, "_sort_ix", "seq")
-    df = df.withColumn("_pid", F.spark_partition_id())
-    # persist: range boundaries come from sampling, so the partitioning
-    # must not be recomputed between the offsets action and the ranks
-    df = df.persist()
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    tmp = df.persist()
+    try:
+        qs = [i / n_part for i in range(1, n_part)]
+        bounds = sorted(set(tmp.stat.approxQuantile("_sort_ix", qs, 0.001)))
+        if bounds:
+            barr = ", ".join(repr(float(b)) for b in bounds)
+            # double cast is monotone in the int64 key, so the bucketing
+            # preserves the global (_sort_ix, seq) order across buckets
+            pid_expr = F.expr(
+                "aggregate(array(" + barr + "), 0, "
+                "(acc, b) -> acc + IF(CAST(_sort_ix AS DOUBLE) > b, 1, 0))")
+        else:
+            pid_expr = F.lit(0)
+        dfb = tmp.withColumn("_pid", pid_expr)
 
-    counts = (
-        df.filter("_elig").groupBy("_pid").count().collect()
-    )
-    offsets = {}
-    acc = 0
-    for r in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    total = acc
+        counts = dfb.filter("_elig").groupBy("_pid").count().collect()
+        offsets = {}
+        acc = 0
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offsets[r["_pid"]] = acc
+            acc += r["count"]
+        total = acc
 
-    if total == 0:
-        return df.withColumn("fmz", F.lit(0).cast("tinyint")).drop("_elig", "_sort_ix", "_pid")
+        if total == 0:
+            out = dfb.withColumn("fmz", F.lit(0).cast("tinyint")).drop(
+                "_elig", "_sort_ix", "_pid")
+            return out.localCheckpoint(eager=True)
 
-    w = Window.partitionBy("_pid").orderBy("_sort_ix", "seq")
-    local_rank = F.sum(F.when(F.col("_elig"), 1).otherwise(0)).over(w)
-    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-    df = df.withColumn("_rank", local_rank + off_map[F.col("_pid")])
+        w = Window.partitionBy("_pid").orderBy("_sort_ix", "seq")
+        local_rank = F.sum(F.when(F.col("_elig"), 1).otherwise(0)).over(w)
+        off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+        dfb = dfb.withColumn("_rank", local_rank + off_map[F.col("_pid")])
 
-    if cfg.droprate <= 0 or cfg.basezoom <= 0:
-        return df.withColumn("fmz", F.lit(0).cast("tinyint")).drop(
+        if cfg.droprate <= 0 or cfg.basezoom <= 0:
+            out = dfb.withColumn("fmz", F.lit(0).cast("tinyint")).drop(
+                "_elig", "_sort_ix", "_pid", "_rank")
+            return out.localCheckpoint(eager=True)
+
+        if mode == "exact" and total <= max_exact_ranks:
+            seq_tab = minzoom_sequence(total, cfg.maxzoom, cfg.basezoom, cfg.droprate)
+            btab = spark.sparkContext.broadcast(seq_tab)
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("tinyint")
+            def fmz_lookup(rank: pd.Series) -> pd.Series:
+                tab = btab.value
+                r = rank.to_numpy()
+                out = np.zeros(len(r), dtype=np.int8)
+                m = r >= 1
+                out[m] = tab[r[m].astype(np.int64) - 1]
+                return pd.Series(out)
+
+            fmz = F.when(F.col("_elig"), fmz_lookup(F.col("_rank"))).otherwise(F.lit(0))
+        else:
+            mz, bz, dr = cfg.maxzoom, cfg.basezoom, cfg.droprate
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("tinyint")
+            def fmz_rank(rank: pd.Series) -> pd.Series:
+                return pd.Series(minzoom_rank_approx(rank.to_numpy(), mz, bz, dr))
+
+            fmz = F.when(F.col("_elig"), fmz_rank(F.col("_rank"))).otherwise(F.lit(0))
+
+        out = dfb.withColumn("fmz", fmz.cast("tinyint")).drop(
             "_elig", "_sort_ix", "_pid", "_rank")
-
-    if mode == "exact" and total <= max_exact_ranks:
-        seq_tab = minzoom_sequence(total, cfg.maxzoom, cfg.basezoom, cfg.droprate)
-        btab = spark.sparkContext.broadcast(seq_tab)
-
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("tinyint")
-        def fmz_lookup(rank: pd.Series) -> pd.Series:
-            tab = btab.value
-            r = rank.to_numpy()
-            out = np.zeros(len(r), dtype=np.int8)
-            m = r >= 1
-            out[m] = tab[r[m].astype(np.int64) - 1]
-            return pd.Series(out)
-
-        fmz = F.when(F.col("_elig"), fmz_lookup(F.col("_rank"))).otherwise(F.lit(0))
-    else:
-        mz, bz, dr = cfg.maxzoom, cfg.basezoom, cfg.droprate
-
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("tinyint")
-        def fmz_rank(rank: pd.Series) -> pd.Series:
-            return pd.Series(minzoom_rank_approx(rank.to_numpy(), mz, bz, dr))
-
-        fmz = F.when(F.col("_elig"), fmz_rank(F.col("_rank"))).otherwise(F.lit(0))
-
-    return df.withColumn("fmz", fmz.cast("tinyint")).drop("_elig", "_sort_ix", "_pid", "_rank")
+        # materialize (cuts lineage; blocks are GC-reclaimed with the DF)
+        return out.localCheckpoint(eager=True)
+    finally:
+        tmp.unpersist()
 
 
 def _eligible_col(df, cfg: TileConfig):
@@ -527,7 +551,11 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     # (traverse_zooms, tile.cpp:2778-2880)
     if cfg.extend_zooms:
         raise NotImplementedError("--extend-zooms on the Spark path: use build_tiles_local")
-    allz = allz.persist()
+    # localCheckpoint (not persist): materialized on the first stats
+    # action, reused by every later pass, and reclaimed by the context
+    # cleaner once the returned DataFrame is dropped — no cache leak
+    # across repeated builds in one session
+    allz = allz.localCheckpoint(eager=False)
     tile_dfs = []
     for z in range(cfg.minzoom, cfg.maxzoom + 1):
         sub = allz.filter(F.col("_z") == z).withColumn("_shard", shard)
