@@ -21,7 +21,7 @@ CASES = [
     # (fixture file, layer, options, require byte equality)
     ("minzoom/in.json", "in", "-z6", True),
     ("onefeature/in.json", "in", "-z3", True),
-    ("nullisland/in.json", "in", "-z5", False),
+    ("nullisland/in.json", "in", "-z5", True),
     ("minzoom/in.json", "in", "-z8 -Z2", True),
     ("minzoom/in.json", "in", "-z6 -r1", True),
     ("minzoom/in.json", "in", "-z6 -B4", True),
@@ -30,7 +30,7 @@ CASES = [
     ("nonascii/@@@.json", None, "-z2", True),
     ("attribute-type/in.json", "in", "-z2", True),
     ("multilinestring/in.json", "in", "-z5", True),
-    ("polygon-winding/in.json", "in", "-z3", False),
+    ("polygon-winding/in.json", "in", "-z3", True),
     ("highzoom/in.json", "in", "-z14", True),
     ("muni/muni.json", "muni", "-z11 -Z11", True),
     ("muni/muni.json", "muni", "-z8", True),
@@ -56,7 +56,7 @@ CASES = [
     ("muni/muni.json", "muni", "-z6 -O150 --increase-gamma-as-needed", True),
     ("muni/muni.json", "muni", "-z6 -O50 --cluster-densest-as-needed -E name:comma", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --drop-smallest-as-needed", True),
-    ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --coalesce-smallest-as-needed", False),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -M3000 --coalesce-smallest-as-needed", True),
     ("muni/muni.json", "muni", "-z6 -O60 --drop-densest-as-needed --extend-zooms-if-still-dropping", True),
     ("muni/muni.json", "muni", "-zg", True),
     ("muni/muni.json", "muni", "-zg --drop-densest-as-needed", True),
@@ -84,19 +84,17 @@ def test_fixture_parity(fixture, layer, options, require_bytes):
 
 
 @requires_reference
-@pytest.mark.xfail(reason="wagyu snap-round UNION of overlapping dateline "
-                          "copies not implemented (SURVEY.md §7.1)", strict=False)
 def test_wraparound_union():
     path = f"{REF_TESTS}/wraparound/in.json"
     ref = run_reference(path, "-z4")
     ours = run_ours(path, "-z4", layer="in")
-    assert_tilesets_equal(ref, ours, require_bytes=False, canonical_rings=True)
+    assert_tilesets_equal(ref, ours, require_bytes=True)
 
 
 @requires_reference
-@pytest.mark.xfail(reason="wagyu snap-round union merges rings split by the "
-                          "clip along the shared edge (SURVEY.md §7.1)", strict=False)
 def test_dateline_union():
+    # canonical-ring equality: the union topology matches; 20/102 tiles
+    # differ only in wagyu's sweep-history ring anchor/order
     path = f"{REF_TESTS}/dateline/in.json"
     ref = run_reference(path, "-z5")
     ours = run_ours(path, "-z5", layer="in")

@@ -886,36 +886,13 @@ def _reorder_lines(ops, xs, ys, cfg):
 
 
 def _clean_poly(ops, xs, ys):
-    """Stand-in for clean_or_clip_poly (wagyu snap-round union,
-    geometry.cpp:223-325): remove degenerate rings and noop points.
+    """clean_or_clip_poly (wagyu snap-round union, geometry.cpp:223-325):
+    planar snap-round union with positive fill — overlapping and
+    self-intersecting rings are resolved, spikes cancel, collinear
+    vertices drop (core.polyclean)."""
+    from ..core.polyclean import clean_poly as _union
 
-    For polygons that are valid after clipping (the overwhelmingly common
-    case in the reference's own fixtures) wagyu's union is the identity
-    up to ring ordering; we reproduce that path.  Self-intersection
-    repair is NOT implemented (risk register: SURVEY.md §7.1).
-    """
-    ops, xs, ys = g.remove_noop(ops, xs, ys, g.VT_POLYGON, 0)
-    out_op, out_x, out_y = [], [], []
-    for i, j in g._rings(ops):
-        # drop unclosed-degenerate and zero-area rings
-        if j - i < 3:
-            continue
-        area = g.get_area(xs, ys, i, j)
-        if area == 0:
-            continue
-        out_op.extend([g.OP_MOVETO] + [g.OP_LINETO] * (j - i - 1))
-        out_x.extend(int(v) for v in xs[i:j])
-        out_y.extend(int(v) for v in ys[i:j])
-        # wagyu emits closed rings
-        if xs[i] != xs[j - 1] or ys[i] != ys[j - 1]:
-            out_op.append(g.OP_LINETO)
-            out_x.append(int(xs[i]))
-            out_y.append(int(ys[i]))
-    return (
-        np.asarray(out_op, dtype=np.uint8),
-        np.asarray(out_x, dtype=np.int64),
-        np.asarray(out_y, dtype=np.int64),
-    )
+    return _union(ops, xs, ys)
 
 
 def _revive_polygon(ops, xs, ys, area, z, detail):
