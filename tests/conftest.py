@@ -163,6 +163,14 @@ def options_to_config(options: str, maxzoom_default: int = 14):
             cfg.exclude_all = True
             i += 1
             continue
+        if t == "-C" or t == "--prefilter":
+            cfg.prefilter = toks[i + 1]
+            i += 2
+            continue
+        if t == "-c" or t == "--postfilter":
+            cfg.postfilter = toks[i + 1]
+            i += 2
+            continue
         if t == "-j" or t == "--feature-filter":
             import json as _json
 

@@ -68,6 +68,20 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
+    # pre/postfilter plugin pipes (plugin.cpp:527-660, tile.cpp:1788-1870)
+    ("muni/muni.json", "muni", "-z2 -C 'tee /dev/null'", True),
+    ("muni/muni.json", "muni", "-z2 -c 'tee /dev/null'", True),
+    ("muni/muni.json", "muni",
+     "-z3 -C /root/reference/tests/filter/rename", True),
+    ("muni/muni.json", "muni",
+     "-z3 -c /root/reference/tests/filter/rename", True),
+    ("muni/muni.json", "muni",
+     "-z3 -C /root/reference/tests/filter/remove", True),
+    ("tl_2018_51685_roads/in.json", "in",
+     "-z8 -Z8 -C 'grep -v 11041047080'", True),
+    ("tl_2018_51685_roads/in.json", "in",
+     "-z8 -Z8 -c 'grep -v 11041047080'", True),
+    ("polygon-winding/in.json", "in", "-z3 -c 'tee /dev/null'", True),
 ]
 
 

@@ -72,6 +72,9 @@ class TileConfig:
     reverse_source_polygon_winding: bool = False  # -pW
     use_hilbert: bool = False        # --hilbert
 
+    prefilter: str | None = None   # -C (shell pipe per tile, plugin.cpp)
+    postfilter: str | None = None  # -c
+
     clip_bboxes: list = field(default_factory=list)  # --clip-bounding-box
     geometry_scale_override: int = -1  # frozen when --extend-zooms grows maxzoom
     guess_maxzoom_flag: bool = False   # -zg (resolved by operators.guess)

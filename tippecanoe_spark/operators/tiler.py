@@ -252,6 +252,16 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
 
         clipped.append((row, ops, xs, ys, t))
 
+    # prefilter pipe (-C): features leave as GeoJSON, come back
+    # re-imported (tile.cpp:1788-1870); runs once per tile — the
+    # reference re-pipes on every retry pass, identical output assumed
+    # for a deterministic filter.  Both pipes are disabled below
+    # minzoom (tile.cpp:1796-1799)
+    if cfg.prefilter is not None and z >= cfg.minzoom:
+        from .plugin import prefilter_tile
+
+        clipped = prefilter_tile(clipped, z, tx, ty, cfg)
+
     # ---- retry ladder (the write_tile line_detail loop) ----
     mingap_fraction = 1.0
     minextent_fraction = 1.0
@@ -264,6 +274,16 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
 
         if total_features == 0 or not tile.layers:
             return None, children, stats
+
+        # postfilter pipe (-c) on the assembled layers; re-runs on every
+        # retry pass like filter_layers (tile.cpp:2308-2310); disabled
+        # below minzoom (tile.cpp:1796-1799)
+        if cfg.postfilter is not None and z >= cfg.minzoom:
+            from .plugin import postfilter_tile
+
+            tile = postfilter_tile(tile, z, tx, ty, 1 << line_detail, cfg)
+            if not tile.layers:
+                return None, children, stats
 
         if total_features > cfg.max_tile_features and not cfg.no_feature_limit:
             upd = _retry_step(cfg, total_features, cfg.max_tile_features,
@@ -1095,6 +1115,9 @@ def can_prefilter_dropped(cfg: TileConfig) -> bool:
         or cfg.calculate_feature_density
         or cfg.no_clipping
         or cfg.no_duplication
+        # filter pipes see every feature, including dropped ones
+        or cfg.prefilter is not None
+        or cfg.postfilter is not None
     )
 
 
