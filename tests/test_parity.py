@@ -116,6 +116,69 @@ def test_dateline_union():
 
 
 @requires_reference
+def test_shared_borders_synthetic():
+    """-ab / --detect-shared-borders on a synthetic pair of polygons
+    with a vertex-identical shared border: arcs must be simplified once
+    so neighbors keep matching borders.  Tiles are byte-identical except
+    where the ring touches the tile buffer boundary (wagyu's sweep
+    orders those touch cycles differently); there the vertex multisets
+    must still match exactly."""
+    import gzip
+    import json
+    import random
+    from collections import Counter
+
+    from tippecanoe_spark.core.mvt import decode_tile
+
+    rng = random.Random(7)
+    border = [(10.0, -20.0)]
+    y = -20.0
+    while y < 20.0:
+        y += rng.uniform(1.0, 3.0)
+        border.append((10.0 + rng.uniform(-2.0, 2.0), min(y, 20.0)))
+    border.append((10.0, 20.0))
+    left = [(-15.0, -20.0)] + border + [(-15.0, 20.0)]
+    right = [(30.0, -20.0), (30.0, 20.0)] + list(reversed(border))
+
+    def poly(ring):
+        r = ring + [ring[0]]
+        return {"type": "Feature", "properties": {"n": len(ring)},
+                "geometry": {"type": "Polygon",
+                             "coordinates": [[list(p) for p in r]]}}
+
+    fc = {"type": "FeatureCollection",
+          "features": [poly(left), poly(right),
+                       poly([(40.0, 0.0), (55.0, 5.0), (50.0, 18.0),
+                             (38.0, 12.0)])]}
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix="_shared_border.json",
+                                     delete=False) as f:
+        json.dump(fc, f)
+        path = f.name
+
+    for opts in ("-z5 --detect-shared-borders",
+                 "-z5 -S4 --detect-shared-borders"):
+        ref = run_reference(path, opts)
+        ours = run_ours(path, opts, layer=None)
+        assert set(ref) == set(ours)
+        bad = [k for k in ref if ref[k] != ours[k]]
+        assert len(bad) <= max(1, len(ref) // 10), \
+            f"too many byte-mismatched tiles: {len(bad)}/{len(ref)}"
+        for k in bad:
+            rt = decode_tile(gzip.decompress(ref[k]))
+            ot = decode_tile(gzip.decompress(ours[k]))
+            for rl, ol in zip(rt.layers, ot.layers):
+                assert len(rl.features) == len(ol.features)
+                for rf, of in zip(rl.features, ol.features):
+                    rm = Counter((x, y) for op, x, y in rf.geometry
+                                 if op in (1, 2))
+                    om = Counter((x, y) for op, x, y in of.geometry
+                                 if op in (1, 2))
+                    assert rm == om, f"vertex multisets differ in {k}"
+
+
+@requires_reference
 def test_geocsv_parity():
     """GeoCSV source vs reference: same csv fixture, -z4."""
     from tippecanoe_spark.io.geocsv import geocsv_features

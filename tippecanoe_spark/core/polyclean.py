@@ -50,6 +50,18 @@ def _rhalfmax(num: int, den: int) -> int:
     return (2 * num + den) // (2 * den)
 
 
+def _round_towards_max_d(val: float) -> int:
+    """wagyu round_towards_max on a double (ring_util.hpp:91-101):
+    values within ~4 ulps of the .5 boundary round up, otherwise
+    llround (nearest, ties away from zero)."""
+    import math
+
+    half = math.floor(val) + 0.5
+    if val == half or abs(val - half) <= 4 * math.ulp(half):
+        return int(math.ceil(val))
+    return int(math.floor(val + 0.5)) if val >= 0 else int(math.ceil(val - 0.5))
+
+
 def _cross(ox, oy, ax, ay, bx, by) -> int:
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
@@ -67,22 +79,20 @@ def _between(ax, ay, bx, by, px, py) -> bool:
 # arrangement
 
 
-def _split_segments(segs: list) -> tuple[list, bool]:
-    """One snap-round pass: returns (new segments, changed)."""
+def _crossing_pixels(segs: list) -> set:
+    """Rounded proper-crossing points of all segment pairs."""
     n = len(segs)
+    out = set()
     if n == 0:
-        return segs, False
+        return out
     arr = np.asarray(segs, dtype=np.int64)
     minx = np.minimum(arr[:, 0], arr[:, 2])
     maxx = np.maximum(arr[:, 0], arr[:, 2])
     miny = np.minimum(arr[:, 1], arr[:, 3])
     maxy = np.maximum(arr[:, 1], arr[:, 3])
-
-    splits: list[set] = [set() for _ in range(n)]
     for i in range(n):
         x1, y1, x2, y2 = (int(arr[i, 0]), int(arr[i, 1]),
                           int(arr[i, 2]), int(arr[i, 3]))
-        # bbox prefilter, vectorized over j > i
         js = np.nonzero(
             (minx[i + 1:] <= maxx[i]) & (maxx[i + 1:] >= minx[i])
             & (miny[i + 1:] <= maxy[i]) & (maxy[i + 1:] >= miny[i])
@@ -95,64 +105,110 @@ def _split_segments(segs: list) -> tuple[list, bool]:
             d2 = _cross(x3, y3, x4, y4, x2, y2)
             d3 = _cross(x1, y1, x2, y2, x3, y3)
             d4 = _cross(x1, y1, x2, y2, x4, y4)
-            if d1 == 0 and d2 == 0:
-                # collinear: split each at the other's interior endpoints
-                for (px, py) in ((x3, y3), (x4, y4)):
-                    if _between(x1, y1, x2, y2, px, py):
-                        splits[i].add((px, py))
-                for (px, py) in ((x1, y1), (x2, y2)):
-                    if _between(x3, y3, x4, y4, px, py):
-                        splits[j].add((px, py))
-                continue
             if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 \
                     and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
-                # proper crossing: P = p1 + (p2-p1) * d1/(d1-d2) where
-                # d1, d2 are the orientations of p1, p2 wrt line (p3,p4)
-                # — exact rational, snapped to the lattice
-                den = d1 - d2
-                px = _rhalfmax(x1 * den + (x2 - x1) * d1, den)
-                py = _rhalfmax(y1 * den + (y2 - y1) * d1, den)
-                if (px, py) != (x1, y1) and (px, py) != (x2, y2):
-                    splits[i].add((px, py))
-                if (px, py) != (x3, y3) and (px, py) != (x4, y4):
-                    splits[j].add((px, py))
-                continue
-            # T-junctions (endpoint of one on the interior of the other)
-            if d1 == 0 and _between(x3, y3, x4, y4, x1, y1):
-                splits[j].add((x1, y1))
-            if d2 == 0 and _between(x3, y3, x4, y4, x2, y2):
-                splits[j].add((x2, y2))
-            if d3 == 0 and _between(x1, y1, x2, y2, x3, y3):
-                splits[i].add((x3, y3))
-            if d4 == 0 and _between(x1, y1, x2, y2, x4, y4):
-                splits[i].add((x4, y4))
+                # wagyu computes the crossing in DOUBLE precision
+                # (get_edge_intersection, intersect_util.hpp:48-75) and
+                # rounds with round_towards_max — reproduce both,
+                # including the double's rounding error near .5
+                s1x, s1y = float(x2 - x1), float(y2 - y1)
+                s2x, s2y = float(x4 - x3), float(y4 - y3)
+                den = -s2x * s1y + s1x * s2y
+                t = (s2x * (y1 - y3) - s2y * (x1 - x3)) / den
+                px = _round_towards_max_d(x1 + t * s1x)
+                py = _round_towards_max_d(y1 + t * s1y)
+                out.add((px, py))
+    return out
 
-    changed = False
-    out = []
-    for i in range(n):
-        x1, y1, x2, y2 = (int(arr[i, 0]), int(arr[i, 1]),
-                          int(arr[i, 2]), int(arr[i, 3]))
-        if not splits[i]:
-            out.append((x1, y1, x2, y2))
+
+def _seg_hits_pixel(x1, y1, x2, y2, px, py) -> bool:
+    """Does segment (x1,y1)-(x2,y2) intersect the closed unit pixel
+    square centered at (px,py)?  Exact: doubled coordinates make the
+    square corners integral (2px +- 1)."""
+    from fractions import Fraction
+
+    ax, ay, bx, by = 2 * x1, 2 * y1, 2 * x2, 2 * y2
+    lo_x, hi_x = 2 * px - 1, 2 * px + 1
+    lo_y, hi_y = 2 * py - 1, 2 * py + 1
+    dx, dy = bx - ax, by - ay
+    t0, t1 = Fraction(0), Fraction(1)
+    for d, a, lo, hi in ((dx, ax, lo_x, hi_x), (dy, ay, lo_y, hi_y)):
+        if d == 0:
+            if a < lo or a > hi:
+                return False
             continue
-        changed = True
-        dx, dy = x2 - x1, y2 - y1
-        pts = sorted(splits[i], key=lambda p: (p[0] - x1) * dx + (p[1] - y1) * dy)
-        prev = (x1, y1)
-        for p in pts + [(x2, y2)]:
-            if p != prev:
-                out.append((prev[0], prev[1], p[0], p[1]))
-                prev = p
-    return out, changed
+        ta = Fraction(lo - a, d)
+        tb = Fraction(hi - a, d)
+        if ta > tb:
+            ta, tb = tb, ta
+        if ta > t0:
+            t0 = ta
+        if tb < t1:
+            t1 = tb
+        if t0 > t1:
+            return False
+    return True
 
 
-def _arrangement(segs: list, max_iter: int = 16) -> list:
-    segs = [s for s in segs if (s[0], s[1]) != (s[2], s[3])]
+def _arrangement(segs: list, ring_of: list, max_iter: int = 16):
+    """Iterated snap rounding (Hobby hot pixels, as wagyu does): hot
+    pixels are every segment endpoint plus every rounded crossing; any
+    segment passing through a hot pixel's unit square is rerouted
+    through the pixel center.  Repeats until stable — this is what
+    collapses sub-pixel slivers (nearly-collinear jags) to nothing,
+    matching the reference's behavior on quantized polygon borders."""
+    keep = [(s, r) for s, r in zip(segs, ring_of)
+            if (s[0], s[1]) != (s[2], s[3])]
+    segs = [s for s, _ in keep]
+    ring_of = [r for _, r in keep]
+
     for _ in range(max_iter):
-        segs, changed = _split_segments(segs)
+        n = len(segs)
+        if n == 0:
+            break
+        hot = set()
+        for (x1, y1, x2, y2) in segs:
+            hot.add((x1, y1))
+            hot.add((x2, y2))
+        hot |= _crossing_pixels(segs)
+        hpx = np.asarray([p[0] for p in hot], dtype=np.int64)
+        hpy = np.asarray([p[1] for p in hot], dtype=np.int64)
+        hlist = list(hot)
+
+        arr = np.asarray(segs, dtype=np.int64)
+        changed = False
+        out, out_ring = [], []
+        for i in range(n):
+            x1, y1, x2, y2 = (int(arr[i, 0]), int(arr[i, 1]),
+                              int(arr[i, 2]), int(arr[i, 3]))
+            lox, hix = min(x1, x2), max(x1, x2)
+            loy, hiy = min(y1, y2), max(y1, y2)
+            cand = np.nonzero((hpx * 2 >= 2 * lox - 1) & (hpx * 2 <= 2 * hix + 1)
+                              & (hpy * 2 >= 2 * loy - 1) & (hpy * 2 <= 2 * hiy + 1))[0]
+            hits = []
+            for c in cand:
+                p = hlist[int(c)]
+                if p == (x1, y1) or p == (x2, y2):
+                    continue
+                if _seg_hits_pixel(x1, y1, x2, y2, p[0], p[1]):
+                    hits.append(p)
+            if not hits:
+                out.append((x1, y1, x2, y2))
+                out_ring.append(ring_of[i])
+                continue
+            changed = True
+            dx, dy = x2 - x1, y2 - y1
+            hits.sort(key=lambda p: (p[0] - x1) * dx + (p[1] - y1) * dy)
+            prev = (x1, y1)
+            for p in hits + [(x2, y2)]:
+                if p != prev:
+                    out.append((prev[0], prev[1], p[0], p[1]))
+                    out_ring.append(ring_of[i])
+                    prev = p
+        segs, ring_of = out, out_ring
         if not changed:
             break
-    return segs
+    return segs, ring_of
 
 
 # ---------------------------------------------------------------------------
@@ -183,17 +239,20 @@ def _dir_cmp(d1, d2) -> int:
     return 0
 
 
-def _union_positive(segs: list):
-    """Planar union with positive fill over the SNAPPED arrangement.
-    Returns list of boundary cycles [(points, area2)] with the kept
-    region on the left.
+def _union_positive(segs: list, ring_of: list | None = None,
+                    orig_rings: list | None = None):
+    """Planar union with positive fill.  Returns list of boundary cycles
+    [(points, area2)] with the kept region on the left.
 
-    Divergence note: wagyu evaluates winding along the original edge
-    trajectories and only rounds emitted vertices, so in sub-pixel
-    sliver zones created by snapping its keep/drop choice can differ
-    from the snapped arrangement's winding (observed on adversarial
-    random self-intersecting inputs; real fixture geometry is clean of
-    this).  Canonical-ring tile parity is the contract here."""
+    Winding semantics: wagyu's Vatti sweep tracks winding along the
+    ORIGINAL edge trajectories and only rounds the points it emits, so
+    in sub-pixel sliver zones created by snapping its keep/drop choice
+    follows the original topology, not the snapped one.  When
+    ``orig_rings`` is given, each face's winding is measured by an
+    exact rational ray cast from a face-interior probe point against
+    the original rings (matching wagyu on real quantized map data);
+    otherwise winding is propagated across the snapped arrangement by
+    edge multiplicity (exact for the snapped geometry, and cheaper)."""
     from collections import defaultdict
 
     net: dict = defaultdict(int)
@@ -205,12 +264,27 @@ def _union_positive(segs: list):
             net[(a, b)] += 1
         else:
             net[(b, a)] -= 1
-    # node degree counts EVERY arrangement edge, including net-zero
-    # (cancelled) ones: wagyu keeps collinear vertices at such nodes
-    degree: dict = defaultdict(int)
-    for (a, b) in net:
-        degree[a] += 1
-        degree[b] += 1
+    # collinear-vertex retention (observed wagyu behavior): a collinear
+    # degree-2 vertex survives the output only where edges of DIFFERENT
+    # input rings meet, or where the live (non-cancelled) degree
+    # exceeds 2.  Vertices of a single ring's cancelled spike vanish.
+    ring_sets: dict = defaultdict(set)
+    if ring_of is not None:
+        for si, (x1, y1, x2, y2) in enumerate(segs):
+            ring_sets[(x1, y1)].add(ring_of[si])
+            ring_sets[(x2, y2)].add(ring_of[si])
+    live_deg: dict = defaultdict(int)
+    for (a, b), m in net.items():
+        if m != 0:
+            live_deg[a] += 1
+            live_deg[b] += 1
+    degree = {
+        v: max(live_deg.get(v, 0), 3 if len(rs) >= 2 else 0)
+        for v, rs in ring_sets.items()
+    }
+    for v, d in live_deg.items():
+        if v not in degree:
+            degree[v] = d
     edges = [(a, b, m) for (a, b), m in net.items() if m != 0]
     if not edges:
         return [], degree
@@ -312,29 +386,75 @@ def _union_positive(segs: list):
                         w -= m
         return w
 
-    # per component: the outer (unbounded) face is the unique one with
-    # negative walk area; BFS winding across edges by net multiplicity
-    winding = [None] * len(faces)
-    from collections import deque
+    if orig_rings is not None:
+        # probe winding against the ORIGINAL (pre-snap) rings
+        from fractions import Fraction
 
-    comp_faces: dict = defaultdict(list)
-    for fid, comp in enumerate(comp_of_face):
-        comp_faces[comp].append(fid)
-    for comp, fids in comp_faces.items():
-        outer = min(fids, key=lambda f: areas[f])
-        w0 = winding_at(he_tail[faces[outer][0]], comp)
-        winding[outer] = w0
-        dq = deque([outer])
-        while dq:
-            f = dq.popleft()
-            for h in faces[f]:
-                t = twin(h)
-                ft = face_of[t]
-                if winding[ft] is None:
-                    # crossing from face(h) (left of h) to face(t)
-                    # (right of h): winding drops by mult(h)
-                    winding[ft] = winding[f] - he_mult[h]
-                    dq.append(ft)
+        cmax = 1
+        for pts in orig_rings:
+            for (px, py) in pts:
+                cmax = max(cmax, abs(px), abs(py))
+        for (a, b, _m) in edges:
+            cmax = max(cmax, abs(a[0]), abs(a[1]), abs(b[0]), abs(b[1]))
+
+        def winding_orig(px, py):
+            """None if the probe sits on an original segment."""
+            w = 0
+            for pts in orig_rings:
+                n = len(pts)
+                for i in range(n):
+                    ax, ay = pts[i]
+                    bx, by = pts[(i + 1) % n]
+                    if (bx - ax) * (py - ay) == (by - ay) * (px - ax) \
+                            and min(ax, bx) <= px <= max(ax, bx) \
+                            and min(ay, by) <= py <= max(ay, by):
+                        return None
+                    if ay <= py < by:
+                        if (ax - px) * (by - ay) + (bx - ax) * (py - ay) > 0:
+                            w += 1
+                    elif by <= py < ay:
+                        if (ax - px) * (ay - by) + (bx - ax) * (ay - py) > 0:
+                            w -= 1
+            return w
+
+        winding = [0] * len(faces)
+        for fid, cyc in enumerate(faces):
+            h = cyc[0]
+            (ax, ay), (bx, by) = he_tail[h], he_head[h]
+            mx = Fraction(ax + bx, 2)
+            my = Fraction(ay + by, 2)
+            nx, ny = -(by - ay), (bx - ax)   # left normal of a->b
+            t = Fraction(1, 8 * cmax * (abs(nx) + abs(ny)))
+            w = None
+            while w is None:
+                w = winding_orig(mx + nx * t, my + ny * t)
+                t /= 2
+            winding[fid] = w
+    else:
+        # per component: the outer (unbounded) face is the unique one
+        # with negative walk area; BFS winding across edges by net
+        # multiplicity
+        winding = [None] * len(faces)
+        from collections import deque
+
+        comp_faces: dict = defaultdict(list)
+        for fid, comp in enumerate(comp_of_face):
+            comp_faces[comp].append(fid)
+        for comp, fids in comp_faces.items():
+            outer = min(fids, key=lambda f: areas[f])
+            w0 = winding_at(he_tail[faces[outer][0]], comp)
+            winding[outer] = w0
+            dq = deque([outer])
+            while dq:
+                f = dq.popleft()
+                for h in faces[f]:
+                    t = twin(h)
+                    ft = face_of[t]
+                    if winding[ft] is None:
+                        # crossing from face(h) (left of h) to face(t)
+                        # (right of h): winding drops by mult(h)
+                        winding[ft] = winding[f] - he_mult[h]
+                        dq.append(ft)
 
     kept = [w is not None and w >= 1 for w in winding]
 
@@ -424,12 +544,13 @@ def _point_in_ring(px2: int, py2: int, pts: list) -> bool:
     return inside
 
 
-def union_positive_fill(rings: list) -> list:
+def union_positive_fill(rings: list, winding: str = "snapped") -> list:
     """rings: list of point lists (ints, implicitly closed).  Returns
     list of polygons [ [outer_pts, hole_pts, ...], ... ] — cleaned,
     rotated, ordered like the reference output."""
     segs = []
-    for pts in rings:
+    ring_of = []
+    for ri, pts in enumerate(rings):
         n = len(pts)
         if n < 3:
             continue
@@ -437,8 +558,10 @@ def union_positive_fill(rings: list) -> list:
             a = pts[i]
             b = pts[(i + 1) % n]
             segs.append((int(a[0]), int(a[1]), int(b[0]), int(b[1])))
-    segs = _arrangement(segs)
-    cycles, degree = _union_positive(segs)
+            ring_of.append(ri)
+    segs, ring_of = _arrangement(segs, ring_of)
+    cycles, degree = _union_positive(
+        segs, ring_of, orig_rings=rings if winding == "original" else None)
 
     outers = []
     holes = []
@@ -485,7 +608,8 @@ def union_positive_fill(rings: list) -> list:
     return outs
 
 
-def clean_poly(ops: np.ndarray, xs: np.ndarray, ys: np.ndarray):
+def clean_poly(ops: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+               winding: str = "snapped"):
     """clean_or_clip_poly(geom, z, buffer, clip=false) equivalence
     (geometry.cpp:223-325): gather rings of >= 4 drawvec points, union
     under positive fill with snap rounding, emit closed rings."""
@@ -504,7 +628,7 @@ def clean_poly(ops: np.ndarray, xs: np.ndarray, ys: np.ndarray):
         return (np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64),
                 np.zeros(0, dtype=np.int64))
 
-    polys = union_positive_fill(rings)
+    polys = union_positive_fill(rings, winding=winding)
 
     out_op, out_x, out_y = [], [], []
     for poly in polys:

@@ -587,6 +587,13 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
             p["full_vtypes"].append(M.T_DOUBLE)
             p["full_values"].append(_cpp_to_string_double(round(100 * math.sqrt(p["clustered"] + 1)) / 100.0))
 
+    # shared-border arcs (-ab): decompose polygon rings into arcs,
+    # simplify each arc once (tile.cpp:2091-2093)
+    if cfg.detect_shared_borders:
+        from .borders import find_common_edges
+
+        find_common_edges(partials, z, detail, cfg)
+
     # simplification worker (partial_feature_worker, tile.cpp:438-528)
     finished = []
     for p in partials:
@@ -607,14 +614,18 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
         ):
             if t == g.VT_LINE:
                 ops, xs, ys = g.remove_noop(ops, xs, ys, t, 32 - z - detail)
-            nops, nxs, nys = g.simplify_lines(
-                ops, xs, ys, z, detail,
-                not (cfg.no_clipping or cfg.no_duplication),
-                cfg.simplification,
-                retain=4 if t == g.VT_POLYGON else 0,
-            )
-            if t != g.VT_POLYGON or len(nops) >= 3:
-                ops, xs, ys = nops, nxs, nys
+            # -ab: polygons were already simplified arc-by-arc
+            # (already_marked, tile.cpp:472-476)
+            already_marked = cfg.detect_shared_borders and t == g.VT_POLYGON
+            if not already_marked:
+                nops, nxs, nys = g.simplify_lines(
+                    ops, xs, ys, z, detail,
+                    not (cfg.no_clipping or cfg.no_duplication),
+                    cfg.simplification,
+                    retain=4 if t == g.VT_POLYGON else 0,
+                )
+                if t != g.VT_POLYGON or len(nops) >= 3:
+                    ops, xs, ys = nops, nxs, nys
 
         if t == g.VT_LINE and cfg.reverse:
             ops, xs, ys = _reorder_lines(ops, xs, ys, cfg)
