@@ -68,6 +68,12 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
+    # --grid-low-zooms stairstep + read-time grid snap
+    # (geometry.cpp:1140-1224, serial.cpp:374-384); -z11 -D7 is the
+    # reference's own test configuration
+    ("grid-aligned/in.json", "in", "-z11 -D7 --grid-low-zooms", True),
+    ("grid-unaligned/in.json", "in", "-z11 -D7 --grid-low-zooms", True),
+    ("grid-aligned/in.json", "in", "-z5 -d8 --grid-low-zooms", True),
     # pre/postfilter plugin pipes (plugin.cpp:527-660, tile.cpp:1788-1870)
     ("muni/muni.json", "muni", "-z2 -C 'tee /dev/null'", True),
     ("muni/muni.json", "muni", "-z2 -c 'tee /dev/null'", True),

@@ -604,3 +604,66 @@ def geom_bbox(op, x, y):
     if not m.any():
         return 0, 0, -1, -1
     return int(x[m].min()), int(y[m].min()), int(x[m].max()), int(y[m].max())
+
+
+def stairstep(op, x, y, z: int, detail: int):
+    """--grid-low-zooms gridding (geometry.cpp:1140-1224): floor to the
+    tile pixel grid, replace every segment with its Bresenham unit-step
+    walk (runs in the same direction merge into one step), scale back."""
+    scale = float(1 << (32 - detail - z))
+    gx = np.floor(np.asarray(x, dtype=np.float64) / scale).astype(np.int64)
+    gy = np.floor(np.asarray(y, dtype=np.float64) / scale).astype(np.int64)
+    out_op, out_x, out_y = [], [], []
+    for i in range(len(op)):
+        if op[i] == OP_MOVETO:
+            out_op.append(OP_MOVETO)
+            out_x.append(int(gx[i]))
+            out_y.append(int(gy[i]))
+        elif out_op:
+            x0, y0 = out_x[-1], out_y[-1]
+            x1, y1 = int(gx[i]), int(gy[i])
+            swap = False
+            if y0 < y1:
+                swap = True
+                x0, y0, x1, y1 = x1, y1, x0, y0
+            xx, yy = x0, y0
+            dx = abs(x1 - x0)
+            sx = 1 if x0 < x1 else -1
+            dy = abs(y1 - y0)
+            sy = 1 if y0 < y1 else -1
+            # C division truncates toward zero: -dy/2 == -(dy/2)
+            err = dx // 2 if dx > dy else -(dy // 2)
+            last = -1
+            tmp = [(xx, yy)]
+            while xx != x1 or yy != y1:
+                e2 = err
+                if e2 > -dx:
+                    err -= dy
+                    xx += sx
+                    if last == 1:
+                        tmp[-1] = (xx, yy)
+                    else:
+                        tmp.append((xx, yy))
+                    last = 1
+                if e2 < dy:
+                    err += dx
+                    yy += sy
+                    if last == 2:
+                        tmp[-1] = (xx, yy)
+                    else:
+                        tmp.append((xx, yy))
+                    last = 2
+            if swap:
+                tmp.reverse()
+            for (px, py) in tmp:
+                out_op.append(OP_LINETO)
+                out_x.append(px)
+                out_y.append(py)
+        else:
+            raise ValueError("stairstepping lineto with no moveto")
+    s = 1 << (32 - detail - z)
+    return (
+        np.asarray(out_op, dtype=np.uint8),
+        np.asarray(out_x, dtype=np.int64) * s,
+        np.asarray(out_y, dtype=np.int64) * s,
+    )

@@ -389,11 +389,21 @@ def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
     else:
         return None
 
-    # snap to the geometry_scale grid: SHIFT_LEFT(SHIFT_RIGHT(x))
+    # snap to the geometry_scale grid: SHIFT_LEFT(SHIFT_RIGHT(x)); with
+    # --grid-low-zooms, round instead of floor so data that is meant to
+    # be tile-aligned but off by projection rounding snaps back onto the
+    # maxzoom grid (scale_geometry, serial.cpp:374-384)
     if gs > 0:
-        C = 4 << 32
-        xs = (((xs + C) >> gs) << gs) - C
-        ys = (((ys + C) >> gs) << gs) - C
+        if cfg.grid_low_zooms:
+            s = float(1 << gs)
+            vx = xs / s
+            vy = ys / s
+            xs = np.where(vx >= 0, np.floor(vx + 0.5), np.ceil(vx - 0.5)).astype(np.int64) << gs
+            ys = np.where(vy >= 0, np.floor(vy + 0.5), np.ceil(vy - 0.5)).astype(np.int64) << gs
+        else:
+            C = 4 << 32
+            xs = (((xs + C) >> gs) << gs) - C
+            ys = (((ys + C) >> gs) << gs) - C
 
     if t == g.VT_POLYGON:
         ops, xs, ys = g.fix_polygon(ops, xs, ys)

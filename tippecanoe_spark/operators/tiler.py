@@ -603,6 +603,11 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
         ys = np.concatenate([gg[2] for gg in geoms])
         t = p["t"]
 
+        # --grid-low-zooms: Bresenham gridding below maxzoom
+        # (tile.cpp:457-459)
+        if cfg.grid_low_zooms and z < cfg.maxzoom:
+            ops, xs, ys = g.stairstep(ops, xs, ys, z, detail)
+
         area = 0.0
         if t == g.VT_POLYGON:
             area = g.get_mp_area(ops, xs, ys)
