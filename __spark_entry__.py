@@ -402,6 +402,72 @@ def q_ann_cosine_topk(spark, sf_dir):
                  .select("qid", "rk", "cid", "sim")
 
 
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def _lsh_bucket_spark() -> str:
+    """Sign-random-projection LSH bucket: deterministic integer
+    hyperplanes w[p][d] = ((p*D + d) * 2654435761) % 2^32 - 2^31 over
+    the 1e6-quantized embedding — engine-neutral integer arithmetic."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        proj = (
+            f"aggregate(sequence(0, {_LSH_DIM - 1}), 0L, (acc, d) -> acc + "
+            f"((({p} * {_LSH_DIM} + d) * {_XMUL}) % {_W} - {1 << 31}) * "
+            "CAST(floor(CAST(element_at(embedding, CAST(d + 1 AS INT)) AS DOUBLE)"
+            " * 1000000) AS BIGINT))"
+        )
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Scalable ANN: sign-random-projection LSH bucketing, then exact
+    quantized-cosine re-rank WITHIN buckets — an equi-join on bucket id
+    (hash join, broadcast-able) instead of the crossJoin baseline; the
+    plan survives 100x growth because candidates per query are bounded
+    by bucket occupancy."""
+    emb = _load(spark, sf_dir, "embeddings")
+    b = emb.selectExpr("vec_id", "embedding", _lsh_bucket_spark() + " AS bucket")
+    qv = b.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding AS qe", "bucket")
+    cv = b.filter("vec_id >= 10").selectExpr("vec_id AS cid", "embedding AS ce", "bucket")
+    pairs = qv.join(cv, "bucket")
+    dot = (
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        " * CAST(floor(CAST(y AS DOUBLE) * 1000000) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+    )
+    na = ("aggregate(transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+          " * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+    nb = ("aggregate(transform(ce, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+          " * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+    scored = pairs.selectExpr(
+        "bucket", "qid", "cid",
+        f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS sim",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 3") \
+                 .select("qid", "rk", "cid", "sim", "bucket")
+
+
+def q_knn_cell(spark, sf_dir):
+    """kNN through the scale path (operators.spatial.knn_join): targets
+    bucketed by quadtree cell, each query joins only its 3x3 cell
+    neighborhood — no crossJoin in the plan."""
+    from tippecanoe_spark.operators.spatial import knn_join
+
+    lon_e, lat_e = _lonlat_expr()
+    base = _events_xy(spark, sf_dir).selectExpr(
+        "event_id", f"{lon_e} AS lon", f"{lat_e} AS lat")
+    qdf = base.filter("event_id < 20").selectExpr(
+        "event_id AS qid", "lon", "lat")
+    tdf = base.filter("event_id >= 20")
+    return knn_join(spark, qdf, tdf, k=3, cell_zoom=4,
+                    id_col="event_id", qid_col="qid")
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     expr = ("aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
@@ -489,7 +555,11 @@ def q_tile_pyramid(spark, sf_dir):
     """The flagship operator itself: build the z0-8 tile pyramid over
     event-derived points through the real engine (clip, fan-out, drop
     ladder, simplify, quantize, MVT+gzip).  Non-SQL-expressible: the
-    driver records the rows-only check for this entry."""
+    driver records the rows-only check for this entry — so the function
+    self-verifies first: a deterministic subset is built through BOTH
+    the distributed pipeline and the pure-Python reference runner
+    (build_tiles_local, the parity-suite engine) and every tile must be
+    byte-identical, else this raises."""
     import numpy as np
 
     from tippecanoe_spark.config import TileConfig
@@ -498,6 +568,50 @@ def q_tile_pyramid(spark, sf_dir):
 
     cfg = TileConfig(maxzoom=8)
     ev = _events_xy(spark, sf_dir).select("event_id", "x32", "y32")
+
+    # ---- self-verification on a deterministic subset ----
+    import math as _m
+
+    from tippecanoe_spark.pipeline import build_tiles_local
+
+    sub_cfg = TileConfig(maxzoom=6)
+    sub = ev.filter("event_id < 1500")
+    local_feats = []
+    for r in sub.collect():
+        lon = r["x32"] / 4294967296.0 * 360.0 - 180.0
+        lat = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * r["y32"] / 4294967296.0))))
+        rec = import_feature([(1, lon, lat)], 1, "events", int(r["event_id"]),
+                             False, 0, -1, -1, ["eid"], [2],
+                             [str(int(r["event_id"]))], sub_cfg)
+        if rec is not None:
+            local_feats.append(rec)
+    local_tiles = build_tiles_local(local_feats, sub_cfg)
+
+    def to_sub_features(it):
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                lon = r.x32 / 4294967296.0 * 360.0 - 180.0
+                lat = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * r.y32 / 4294967296.0))))
+                rec = import_feature([(1, lon, lat)], 1, "events",
+                                     int(r.event_id), False, 0, -1, -1,
+                                     ["eid"], [2], [str(int(r.event_id))], sub_cfg)
+                if rec is not None:
+                    recs.append(rec)
+            if recs:
+                yield features_to_pdf(recs)
+
+    sub_feats = sub.mapInPandas(to_sub_features, schema=FEATURE_SCHEMA_DDL)
+    spark_tiles = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                   for r in build_tiles(spark, sub_feats, sub_cfg).collect()}
+    if spark_tiles != local_tiles:
+        only_s = set(spark_tiles) - set(local_tiles)
+        only_l = set(local_tiles) - set(spark_tiles)
+        diff = [k for k in spark_tiles if k in local_tiles
+                and spark_tiles[k] != local_tiles[k]]
+        raise AssertionError(
+            f"tile_pyramid self-check failed: spark-only={sorted(only_s)[:5]} "
+            f"local-only={sorted(only_l)[:5]} byte-diff={sorted(diff)[:5]}")
 
     def to_features(it):
         import pandas as pd
@@ -562,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "knn_cell": q_knn_cell,
         "embedding_norms": q_embedding_norms,
         "events_hourly": q_events_hourly,
         "top_events_per_user": q_top_events_per_user,
@@ -585,6 +701,35 @@ def _duck_xy_cte() -> str:
 
 
 _QK_DUCK = _qk_expr("x32", "y32")
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB mirror of q_ann_lsh (same deterministic hyperplanes)."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        proj = (
+            f"CAST(list_sum(list_transform(generate_series(0, {_LSH_DIM - 1}), "
+            f"d -> ((({p} * {_LSH_DIM} + d) * {_XMUL}) % {_W} - {1 << 31}) * "
+            "CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)"
+        )
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = "(" + " + ".join(bits) + ")"
+    qi = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+          " AS BIGINT))")
+    return (
+        f"WITH b AS (SELECT vec_id, {qi} AS qe, {bucket} AS bucket FROM embeddings), "
+        "q AS (SELECT vec_id AS qid, qe, bucket FROM b WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS cid, qe AS ce, bucket FROM b WHERE vec_id >= 10), "
+        "scored AS (SELECT q.bucket, qid, cid, "
+        "round(CAST(list_sum(list_transform(generate_series(1, len(qe)), "
+        "i -> qe[i] * ce[i])) AS DOUBLE) / "
+        "(sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) * "
+        "sqrt(CAST(list_sum(list_transform(ce, x -> x * x)) AS DOUBLE))), 6) AS sim "
+        "FROM q JOIN c ON q.bucket = c.bucket), "
+        "ranked AS (SELECT bucket, qid, cid, sim, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
+        "SELECT qid, rk, cid, sim, bucket FROM ranked WHERE rk <= 3"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -691,6 +836,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM q, c), ranked AS (SELECT qid, cid, sim, row_number() OVER ("
         "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
         "SELECT qid, rk, cid, sim FROM ranked WHERE rk <= 3",
+        "ann_lsh": _ann_lsh_oracle(),
+        "knn_cell": xy + ", pts AS (SELECT event_id, "
+        "((event_id * 2654435761) % 4294967296) / 4294967296E0 * 360E0 - 180E0 AS lon, "
+        "((event_id * 2246822519 + 3266489917) % 4294967296) / 4294967296E0 * 170E0 - 85E0 AS lat "
+        "FROM exy), cells AS (SELECT event_id, lon, lat, "
+        "CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS cx, "
+        "CAST(floor((lat + 90.0) / 180.0 * 16) AS BIGINT) AS cy FROM pts), "
+        "q AS (SELECT event_id AS qid, lon AS qlon, lat AS qlat, cx AS qcx, cy AS qcy "
+        "FROM cells WHERE event_id < 20), t AS (SELECT * FROM cells WHERE event_id >= 20), "
+        "cand AS (SELECT qid, event_id, "
+        "round((qlon - lon) * (qlon - lon) + (qlat - lat) * (qlat - lat), 10) AS d2 "
+        "FROM q JOIN t ON t.cx BETWEEN qcx - 1 AND qcx + 1 AND t.cy BETWEEN qcy - 1 AND qcy + 1), "
+        "r AS (SELECT qid, event_id, d2, row_number() OVER (PARTITION BY qid "
+        "ORDER BY d2 ASC, event_id ASC) AS rk FROM cand) "
+        "SELECT qid, rk, event_id, d2 FROM r WHERE rk <= 3",
         # CAST nrm: DuckDB list_sum(BIGINT[]) returns HUGEINT
         "embedding_norms": "WITH n AS (SELECT label, "
         "CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) "

@@ -154,14 +154,18 @@ def options_to_config(options: str, maxzoom_default: int = 14):
             cfg.exclude.add(toks[i + 1])
             i += 2
             continue
-        if t == "-y" or t == "--include":
+        if t == "-y" or t == "--include" or (t.startswith("-y") and len(t) > 2):
             cfg.exclude_all = True
-            cfg.include.add(toks[i + 1])
-            i += 2
+            cfg.include.add(toks[i + 1] if t in ("-y", "--include") else t[2:])
+            i += 2 if t in ("-y", "--include") else 1
             continue
         if t == "-X" or t == "--exclude-all":
             cfg.exclude_all = True
             i += 1
+            continue
+        if t == "-s" or t == "--projection" or t.startswith("-sEPSG"):
+            cfg.projection = toks[i + 1] if t in ("-s", "--projection") else t[2:]
+            i += 2 if t in ("-s", "--projection") else 1
             continue
         if t == "-C" or t == "--prefilter":
             cfg.prefilter = toks[i + 1]

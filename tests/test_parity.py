@@ -68,6 +68,8 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
+    # EPSG:3857 input projection (-s), the reference's own test config
+    ("epsg-3857/in.json", "in", "-yNAME -z5 -sEPSG:3857", True),
     # --grid-low-zooms stairstep + read-time grid snap
     # (geometry.cpp:1140-1224, serial.cpp:374-384); -z11 -D7 is the
     # reference's own test configuration

@@ -74,6 +74,7 @@ class TileConfig:
 
     prefilter: str | None = None   # -C (shell pipe per tile, plugin.cpp)
     postfilter: str | None = None  # -c
+    projection: str = "EPSG:4326"  # -s (input CRS; EPSG:3857 supported)
 
     clip_bboxes: list = field(default_factory=list)  # --clip-bounding-box
     geometry_scale_override: int = -1  # frozen when --extend-zooms grows maxzoom

@@ -350,6 +350,13 @@ def feature_records(text: str, layer: str, cfg: TileConfig, seq_start: int = 0):
             if not isinstance(k, str):
                 continue
             vt, sv = stringify_value(v)
+            if vt == T_STRING:
+                # fatal input validation (read_json.cpp:150-160)
+                from ..core.text import check_utf8
+
+                err = check_utf8(sv)
+                if err:
+                    raise ValueError(err)
             keys.append(k)
             vtypes.append(vt)
             values.append(sv)
@@ -374,7 +381,12 @@ def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
     ops = np.asarray([p[0] for p in raw_pts], dtype=np.uint8)
     lons = np.asarray([p[1] for p in raw_pts], dtype=np.float64)
     lats = np.asarray([p[2] for p in raw_pts], dtype=np.float64)
-    xs, ys = lonlat2tile(lons, lats, 32)
+    if cfg.projection == "EPSG:3857":
+        from ..core.projection import epsg3857totile
+
+        xs, ys = epsg3857totile(lons, lats, 32)
+    else:
+        xs, ys = lonlat2tile(lons, lats, 32)
     # CLOSEPATH placeholders don't carry coordinates
     cp = ops == g.OP_CLOSEPATH
     xs[cp] = 0
