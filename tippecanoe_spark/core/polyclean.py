@@ -121,33 +121,41 @@ def _crossing_pixels(segs: list) -> set:
     return out
 
 
-def _seg_hits_pixel(x1, y1, x2, y2, px, py) -> bool:
-    """Does segment (x1,y1)-(x2,y2) intersect the closed unit pixel
-    square centered at (px,py)?  Exact: doubled coordinates make the
-    square corners integral (2px +- 1)."""
-    from fractions import Fraction
-
-    ax, ay, bx, by = 2 * x1, 2 * y1, 2 * x2, 2 * y2
-    lo_x, hi_x = 2 * px - 1, 2 * px + 1
-    lo_y, hi_y = 2 * py - 1, 2 * py + 1
-    dx, dy = bx - ax, by - ay
-    t0, t1 = Fraction(0), Fraction(1)
-    for d, a, lo, hi in ((dx, ax, lo_x, hi_x), (dy, ay, lo_y, hi_y)):
-        if d == 0:
-            if a < lo or a > hi:
-                return False
-            continue
-        ta = Fraction(lo - a, d)
-        tb = Fraction(hi - a, d)
-        if ta > tb:
-            ta, tb = tb, ta
-        if ta > t0:
-            t0 = ta
-        if tb < t1:
-            t1 = tb
-        if t0 > t1:
-            return False
-    return True
+def _segment_pixel_hits(arr: np.ndarray, hpx: np.ndarray, hpy: np.ndarray):
+    """For every (segment, hot pixel) pair: does the segment intersect
+    the closed unit square centered on the pixel?  Exact separating-axis
+    test in doubled integer coordinates (axes: x, y, segment normal),
+    fully vectorized.  Returns (seg_idx, pixel_idx) arrays."""
+    n = len(arr)
+    m = len(hpx)
+    if n == 0 or m == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ax = (2 * arr[:, 0])[:, None]
+    ay = (2 * arr[:, 1])[:, None]
+    bx = (2 * arr[:, 2])[:, None]
+    by = (2 * arr[:, 3])[:, None]
+    lox = (2 * hpx - 1)[None, :]
+    hix = (2 * hpx + 1)[None, :]
+    loy = (2 * hpy - 1)[None, :]
+    hiy = (2 * hpy + 1)[None, :]
+    # bbox overlap on both axes
+    ok = (np.minimum(ax, bx) <= hix) & (np.maximum(ax, bx) >= lox) \
+        & (np.minimum(ay, by) <= hiy) & (np.maximum(ay, by) >= loy)
+    # all four square corners strictly on one side of the segment line
+    # => no intersection
+    dx = bx - ax
+    dy = by - ay
+    s1 = dx * (loy - ay) - dy * (lox - ax)
+    s2 = dx * (loy - ay) - dy * (hix - ax)
+    s3 = dx * (hiy - ay) - dy * (lox - ax)
+    s4 = dx * (hiy - ay) - dy * (hix - ax)
+    pos = (s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)
+    neg = (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+    ok &= ~(pos | neg)
+    # the segment's own endpoints don't reroute it
+    ok &= ~(((arr[:, 0][:, None] == hpx[None, :]) & (arr[:, 1][:, None] == hpy[None, :]))
+            | ((arr[:, 2][:, None] == hpx[None, :]) & (arr[:, 3][:, None] == hpy[None, :])))
+    return np.nonzero(ok)
 
 
 def _arrangement(segs: list, ring_of: list, max_iter: int = 16):
@@ -171,27 +179,24 @@ def _arrangement(segs: list, ring_of: list, max_iter: int = 16):
             hot.add((x1, y1))
             hot.add((x2, y2))
         hot |= _crossing_pixels(segs)
-        hpx = np.asarray([p[0] for p in hot], dtype=np.int64)
-        hpy = np.asarray([p[1] for p in hot], dtype=np.int64)
         hlist = list(hot)
+        hpx = np.asarray([p[0] for p in hlist], dtype=np.int64)
+        hpy = np.asarray([p[1] for p in hlist], dtype=np.int64)
 
         arr = np.asarray(segs, dtype=np.int64)
+        si, pi = _segment_pixel_hits(arr, hpx, hpy)
+        if len(si) == 0:
+            break
+        hits_by_seg: dict = {}
+        for k in range(len(si)):
+            hits_by_seg.setdefault(int(si[k]), []).append(hlist[int(pi[k])])
+
         changed = False
         out, out_ring = [], []
         for i in range(n):
             x1, y1, x2, y2 = (int(arr[i, 0]), int(arr[i, 1]),
                               int(arr[i, 2]), int(arr[i, 3]))
-            lox, hix = min(x1, x2), max(x1, x2)
-            loy, hiy = min(y1, y2), max(y1, y2)
-            cand = np.nonzero((hpx * 2 >= 2 * lox - 1) & (hpx * 2 <= 2 * hix + 1)
-                              & (hpy * 2 >= 2 * loy - 1) & (hpy * 2 <= 2 * hiy + 1))[0]
-            hits = []
-            for c in cand:
-                p = hlist[int(c)]
-                if p == (x1, y1) or p == (x2, y2):
-                    continue
-                if _seg_hits_pixel(x1, y1, x2, y2, p[0], p[1]):
-                    hits.append(p)
+            hits = hits_by_seg.get(i)
             if not hits:
                 out.append((x1, y1, x2, y2))
                 out_ring.append(ring_of[i])
@@ -544,6 +549,78 @@ def _point_in_ring(px2: int, py2: int, pts: list) -> bool:
     return inside
 
 
+def _fast_single_ring(pts: list):
+    """Pure-Python screening of the common case (one small simple ring):
+    returns the union result, or None when the ring needs the full
+    machinery (self-crossing, repeated vertex, or a hot-pixel hit)."""
+    n = len(pts)
+    if len(set(pts)) != n:
+        return None
+    # segments + precomputed bboxes
+    segs = [(pts[i][0], pts[i][1], pts[(i + 1) % n][0], pts[(i + 1) % n][1])
+            for i in range(n)]
+    boxes = []
+    for (x1, y1, x2, y2) in segs:
+        boxes.append((x1 if x1 < x2 else x2, y1 if y1 < y2 else y2,
+                      x1 if x1 > x2 else x2, y1 if y1 > y2 else y2))
+    # pairwise proper-crossing / collinear-overlap check
+    for i in range(n):
+        x1, y1, x2, y2 = segs[i]
+        ilox, iloy, ihix, ihiy = boxes[i]
+        for j in range(i + 1, n):
+            jlox, jloy, jhix, jhiy = boxes[j]
+            if ihix < jlox or jhix < ilox or ihiy < jloy or jhiy < iloy:
+                continue
+            x3, y3, x4, y4 = segs[j]
+            d1 = _cross(x3, y3, x4, y4, x1, y1)
+            d2 = _cross(x3, y3, x4, y4, x2, y2)
+            d3 = _cross(x1, y1, x2, y2, x3, y3)
+            d4 = _cross(x1, y1, x2, y2, x4, y4)
+            if d1 == 0 and d2 == 0:
+                # collinear neighbors sharing just a vertex are fine;
+                # any overlap needs the slow path
+                if _between(x1, y1, x2, y2, x3, y3) or _between(x1, y1, x2, y2, x4, y4) \
+                        or _between(x3, y3, x4, y4, x1, y1) or _between(x3, y3, x4, y4, x2, y2):
+                    return None
+                continue
+            if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 \
+                    and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+                return None
+    # hot-pixel hits: any vertex's unit square touched by a non-incident
+    # segment (doubled coords; SAT: bbox + line-side of the 4 corners)
+    for (px, py) in pts:
+        lox, hix = 2 * px - 1, 2 * px + 1
+        loy, hiy = 2 * py - 1, 2 * py + 1
+        for si in range(n):
+            x1, y1, x2, y2 = segs[si]
+            blox, bloy, bhix, bhiy = boxes[si]
+            if 2 * bhix < lox or 2 * blox > hix or 2 * bhiy < loy or 2 * bloy > hiy:
+                continue
+            if (px == x1 and py == y1) or (px == x2 and py == y2):
+                continue
+            ax, ay, bx, by = 2 * x1, 2 * y1, 2 * x2, 2 * y2
+            dx, dy = bx - ax, by - ay
+            s1 = dx * (loy - ay) - dy * (lox - ax)
+            s2 = dx * (loy - ay) - dy * (hix - ax)
+            s3 = dx * (hiy - ay) - dy * (lox - ax)
+            s4 = dx * (hiy - ay) - dy * (hix - ax)
+            if (s1 > 0 and s2 > 0 and s3 > 0 and s4 > 0) \
+                    or (s1 < 0 and s2 < 0 and s3 < 0 and s4 < 0):
+                continue
+            return None
+    a2 = 0
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        a2 += x1 * y2 - y1 * x2
+    if a2 <= 0:
+        return []
+    out = _drop_collinear(list(pts), {})
+    if len(out) < 3:
+        return []
+    return [[_rotate_ring(out, True)]]
+
+
 def union_positive_fill(rings: list, winding: str = "snapped") -> list:
     """rings: list of point lists (ints, implicitly closed).  Returns
     list of polygons [ [outer_pts, hole_pts, ...], ... ] — cleaned,
@@ -559,6 +636,15 @@ def union_positive_fill(rings: list, winding: str = "snapped") -> list:
             b = pts[(i + 1) % n]
             segs.append((int(a[0]), int(a[1]), int(b[0]), int(b[1])))
             ring_of.append(ri)
+    # fast path: a single simple ring with no repeated vertices, no
+    # self-crossings, and no hot-pixel reroutes unions to itself —
+    # positive fill keeps it iff its area is positive (most polygon
+    # features per tile are exactly this; skips the face machinery)
+    if len(rings) == 1 and len(rings[0]) <= 64:
+        res = _fast_single_ring(rings[0])
+        if res is not None:
+            return res
+
     segs, ring_of = _arrangement(segs, ring_of)
     cycles, degree = _union_positive(
         segs, ring_of, orig_rings=rings if winding == "original" else None)
