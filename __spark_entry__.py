@@ -477,6 +477,25 @@ def q_embedding_norms(spark, sf_dir):
         F.max("nrm").alias("max_sq"))
 
 
+def q_rasterize(spark, sf_dir):
+    """raster<->vector, forward: grid the event points at z6 with
+    per-cell count and value sum (operators.raster.rasterize)."""
+    from tippecanoe_spark.operators.raster import rasterize
+
+    return rasterize(_events_xy(spark, sf_dir), zoom=6, value_col="value")
+
+
+def q_raster_components(spark, sf_dir):
+    """raster<->vector, backward: polygonize cells with n >= 4 into
+    4-connected components via iterative min-label propagation
+    (operators.raster.polygonize); the oracle states the same
+    components with a recursive CTE."""
+    from tippecanoe_spark.operators.raster import polygonize, rasterize
+
+    r = rasterize(_events_xy(spark, sf_dir), zoom=6)
+    return polygonize(r, zoom=6, min_count=4)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return ev.selectExpr(
@@ -679,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "knn_cell": q_knn_cell,
         "embedding_norms": q_embedding_norms,
+        "rasterize": q_rasterize,
+        "raster_components": q_raster_components,
         "events_hourly": q_events_hourly,
         "top_events_per_user": q_top_events_per_user,
         "pip_regions": q_pip_regions,
@@ -857,6 +878,22 @@ def oracle_sql() -> dict[str, str]:
         "* CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS nrm FROM embeddings) "
         "SELECT label, count(*) AS n, CAST(sum(nrm) AS BIGINT) AS sum_sq, "
         "max(nrm) AS max_sq FROM n GROUP BY 1",
+        "rasterize": xy + " SELECT x32 >> 26 AS cell_x, y32 >> 26 AS cell_y, "
+        "count(*) AS n, round(sum(value), 4) AS sum_value FROM exy GROUP BY 1, 2",
+        "raster_components": xy + ", cells AS ("
+        "SELECT x32 >> 26 AS cell_x, y32 >> 26 AS cell_y, count(*) AS n "
+        "FROM exy GROUP BY 1, 2 HAVING count(*) >= 4), "
+        "ids AS (SELECT cell_x, cell_y, n, cell_y * 64 + cell_x AS id FROM cells), "
+        "edges AS (SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b ON "
+        "(abs(a.cell_x - b.cell_x) + abs(a.cell_y - b.cell_y)) = 1), "
+        "reach AS (WITH RECURSIVE r(id, lbl) AS ("
+        "SELECT id, id FROM ids UNION "
+        "SELECT e.src, r.lbl FROM r JOIN edges e ON e.dst = r.id) "
+        "SELECT id, min(lbl) AS component FROM r GROUP BY 1) "
+        "SELECT component, count(*) AS cells, min(cell_x) AS min_x, "
+        "min(cell_y) AS min_y, max(cell_x) AS max_x, max(cell_y) AS max_y, "
+        "CAST(sum(n) AS BIGINT) AS total_n "
+        "FROM ids JOIN reach ON ids.id = reach.id GROUP BY 1",
         "events_hourly": "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
         "AS hour_epoch, event_type, count(*) AS n, round(sum(value), 4) AS "
         "sum_value FROM events GROUP BY 1, 2",

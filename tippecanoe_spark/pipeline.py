@@ -481,6 +481,51 @@ def _eligible_col(df, cfg: TileConfig):
 TILES_SCHEMA_DDL = "z int, x long, y long, tile binary"
 
 
+def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool):
+    """All zoom levels in one narrow mapInPandas pass: the fan-out is
+    per-feature (children stay under their parent), so each partition
+    runs the whole pyramid locally and streams every level out with its
+    _z column.
+
+    The exact dropped-point prefilter runs HERE, map-side, before the
+    encode shuffle: "an earlier quick-passing single point of the same
+    (tile, layer) proves a partial exists" remains a valid proof when
+    evaluated over any subset in true (ix, seq) order, so per-batch
+    filtering is conservative-exact — it can only keep extra rows,
+    never remove a needed one.  At the hot low zooms a batch holds
+    thousands of same-tile points, so nearly all dropped rows vanish
+    from shuffle I/O; the post-shuffle filter (encode side) removes the
+    per-batch stragglers."""
+    from .operators.tiler import fanout_pdf, prefilter_dropped_mask
+
+    maxzoom = cfg.maxzoom
+
+    def cascade(it):
+        for pdf in it:
+            cur = pdf
+            for z in range(0, maxzoom + 1):
+                if not len(cur):
+                    break
+                out = cur.copy()
+                out["_z"] = np.int32(z)
+                if prefilter and len(out):
+                    order = np.lexsort((
+                        out["seq"].to_numpy(),
+                        out["ix"].to_numpy().astype(np.uint64),
+                        out["tile_y"].to_numpy(),
+                        out["tile_x"].to_numpy(),
+                    ))
+                    out = out.iloc[order]
+                    out = out[prefilter_dropped_mask(out, z, cfg)]
+                yield out
+                # fan-out always uses the UNFILTERED rows: children of a
+                # dropped feature surface once z reaches their fmz
+                if z < maxzoom:
+                    cur = fanout_pdf(cur, z, cfg)
+
+    return df.mapInPandas(cascade, schema=FEATURE_SCHEMA_DDL + ", _z int")
+
+
 def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact",
                 checkpoint_dir: str | None = None):
     """Spark zoom-pyramid build.
@@ -517,45 +562,7 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     prefilter = can_prefilter_dropped(cfg)
     maxzoom = cfg.maxzoom
 
-    from .operators.tiler import prefilter_dropped_mask
-
-    def cascade(it):
-        """All zoom levels in one narrow pass: the fan-out is per-feature
-        (children stay under their parent), so each partition runs the
-        whole pyramid locally and streams every level out with its _z.
-
-        The exact dropped-point prefilter runs HERE, map-side, before
-        the encode shuffle: "an earlier quick-passing single point of
-        the same (tile, layer) proves a partial exists" remains a valid
-        proof when evaluated over any subset in true (ix, seq) order,
-        so per-batch filtering is conservative-exact — it can only keep
-        extra rows, never remove a needed one.  At the hot low zooms a
-        batch holds thousands of same-tile points, so nearly all
-        dropped rows vanish from shuffle I/O; the post-shuffle filter
-        (encode side) removes the per-batch stragglers."""
-        for pdf in it:
-            cur = pdf
-            for z in range(0, maxzoom + 1):
-                if not len(cur):
-                    break
-                out = cur.copy()
-                out["_z"] = np.int32(z)
-                if prefilter and len(out):
-                    order = np.lexsort((
-                        out["seq"].to_numpy(),
-                        out["ix"].to_numpy().astype(np.uint64),
-                        out["tile_y"].to_numpy(),
-                        out["tile_x"].to_numpy(),
-                    ))
-                    out = out.iloc[order]
-                    out = out[prefilter_dropped_mask(out, z, cfg)]
-                yield out
-                # fan-out always uses the UNFILTERED rows: children of a
-                # dropped feature surface once z reaches their fmz
-                if z < maxzoom:
-                    cur = fanout_pdf(cur, z, cfg)
-
-    allz = df.mapInPandas(cascade, schema=FEATURE_SCHEMA_DDL + ", _z int")
+    allz = cascade_all_zooms(df, cfg, prefilter)
     if checkpoint_dir is not None:
         allz = allz.checkpoint(eager=False)
 
