@@ -323,6 +323,44 @@ def q_minhash_bands(spark, sf_dir):
     return cand.groupBy("bucket").agg(F.count("*").alias("n_buckets"))
 
 
+def q_dedup_near_verified(spark, sf_dir):
+    """The full near-dup pipeline shape: MinHash band candidates
+    (band-restricted pair generation — no all-pairs) verified with
+    exact word-bigram Jaccard.  Survives 100x growth: candidate pairs
+    come from an equi-join on (band, minhash), and the verifier only
+    touches those pairs."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform(sequence(0, size(w) - 2), "
+        "i -> concat(w[i], ' ', w[i + 1])))) AS shingle",
+    )
+    # 4 bands: min(md5(seed || shingle)) per band
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"b{b}:"), F.col("shingle")))).alias(f"mh{b}")
+          for b in range(4)],
+        F.count("*").alias("sz"),
+    )
+    cand = None
+    for b in range(4):
+        a = mh.selectExpr("doc_id AS d1", f"mh{b} AS band_val", "sz AS sz1")
+        c = mh.selectExpr("doc_id AS d2", f"mh{b} AS band_val", "sz AS sz2")
+        pairs = a.join(c, "band_val").filter("d1 < d2") \
+                 .select("d1", "d2", "sz1", "sz2")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    # exact verification: intersect shingle sets of candidate pairs only
+    inter = (
+        cand.join(sh.selectExpr("doc_id AS d1", "shingle"), "d1")
+        .join(sh.selectExpr("doc_id AS d2", "shingle"), ["d2", "shingle"])
+        .groupBy("d1", "d2", "sz1", "sz2").agg(F.count("*").alias("inter"))
+    )
+    return inter.selectExpr(
+        "d1", "d2", "inter",
+        "round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard"
+    ).filter("jaccard >= 0.04")
+
+
 def q_simhash(spark, sf_dir):
     """60-bit SimHash near-dup fingerprint, exact in both engines:
     per token, md5 -> 60 bits (15 hex chars keep conv() exact); bit b of
@@ -692,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stopword_score": q_lang_stopword_score,
         "fingerprint": q_fingerprint,
         "minhash_bands": q_minhash_bands,
+        "dedup_near_verified": q_dedup_near_verified,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -825,6 +864,24 @@ def oracle_sql() -> dict[str, str]:
         "min(md5('b:' || shingle)) AS mh_b FROM sh GROUP BY 1), "
         "cand AS (SELECT mh_a, count(*) AS bucket FROM mh GROUP BY 1) "
         "SELECT bucket, count(*) AS n_buckets FROM cand GROUP BY 1",
+        "dedup_near_verified": "WITH sh AS (SELECT DISTINCT doc_id, "
+        "w[i] || ' ' || w[i+1] AS shingle FROM (SELECT doc_id, "
+        "string_split(text, ' ') AS w FROM documents), "
+        "LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)), "
+        "mh AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('b{b}:' || shingle)) AS mh{b}" for b in range(4))
+        + ", count(*) AS sz FROM sh GROUP BY 1), "
+        "cand AS ("
+        + " UNION ".join(
+            f"SELECT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1, b.sz AS sz2 "
+            f"FROM mh a JOIN mh b ON a.mh{b} = b.mh{b} AND a.doc_id < b.doc_id"
+            for b in range(4))
+        + "), inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter FROM cand "
+        "JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2 "
+        "AND s1.shingle = s2.shingle GROUP BY 1, 2, 3, 4) "
+        "SELECT d1, d2, inter, round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) "
+        "AS jaccard FROM inter "
+        "WHERE round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) >= 0.04",
         "simhash": "WITH tok AS (SELECT doc_id, "
         "CAST(('0x' || substring(md5(w), 1, 15))::BIGINT AS BIGINT) AS h60 "
         "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), "

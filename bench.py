@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "token_count",
     "minhash_bands",
     "ann_cosine_topk",
+    "ann_lsh",
+    "knn_cell",
+    "rasterize",
+    "simhash",
     "events_hourly",
     "tpch_q1ish",
 ]
