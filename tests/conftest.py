@@ -163,6 +163,17 @@ def options_to_config(options: str, maxzoom_default: int = 14):
             cfg.exclude_all = True
             i += 1
             continue
+        if t == "--clip-bounding-box":
+            from tippecanoe_spark.core.projection import lonlat2tile
+
+            lon1, lat1, lon2, lat2 = (float(v) for v in toks[i + 1].split(","))
+            # main.cpp:3060-3064: (lon1,lat1)->(minx,maxy), (lon2,lat2)->(maxx,miny)
+            minx, maxy = lonlat2tile([lon1], [lat1], 32)
+            maxx, miny = lonlat2tile([lon2], [lat2], 32)
+            cfg.clip_bboxes.append((int(minx[0]), int(miny[0]),
+                                    int(maxx[0]), int(maxy[0])))
+            i += 2
+            continue
         if t == "-s" or t == "--projection" or t.startswith("-sEPSG"):
             cfg.projection = toks[i + 1] if t in ("-s", "--projection") else t[2:]
             i += 2 if t in ("-s", "--projection") else 1

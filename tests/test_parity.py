@@ -68,6 +68,15 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
+    # --calculate-feature-density (density spacing persists across
+    # gap-dropped probes, tile.cpp:1761)
+    ("muni/muni.json", "muni", "-z6 --calculate-feature-density", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 --calculate-feature-density", True),
+    # --clip-bounding-box (read-time clip, serial.cpp:418-450)
+    ("muni/muni.json", "muni",
+     "-z6 --clip-bounding-box -122.46,37.73,-122.39,37.78", True),
+    ("tl_2018_51685_roads/in.json", "in",
+     "-z8 --clip-bounding-box -77.47,38.76,-77.43,38.78", True),
     # EPSG:3857 input projection (-s), the reference's own test config
     ("epsg-3857/in.json", "in", "-yNAME -z5 -sEPSG:3857", True),
     # --grid-low-zooms stairstep + read-time grid snap

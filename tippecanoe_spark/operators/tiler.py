@@ -431,6 +431,7 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
     indices = []
     extents = []
     density_previndex = 0
+    spacing = 0.0  # persists across features (tile.cpp:1761)
     density_gap = 0.0
     scale_z = float(1 << (64 - 2 * (z + 8)))  # drop_state.scale (main.cpp:1002)
 
@@ -518,7 +519,10 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
                     _preserve_attributes(cfg.accumulate, row, partials[wp])
                     continue
 
-        spacing = 0.0
+        # NOTE: `spacing` deliberately persists across features — the
+        # reference declares it once per pass (tile.cpp:1761), so a
+        # feature whose density probe is gap-dropped inherits the last
+        # computed spacing
         if cfg.calculate_feature_density:
             o_prev = density_previndex
             drop_d, density_previndex, density_gap = manage_gap(
