@@ -696,6 +696,51 @@ def q_tile_pyramid(spark, sf_dir):
     return tiles.selectExpr("z", "x", "y", "length(tile) AS tile_bytes")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: a deterministic synthetic media
+    table (binary payload + typed metadata) is built distributed, the
+    stub image decoder + feature extractor runs via Arrow-batched
+    mapInPandas, and video rows are frame-sampled.  Non-SQL-expressible
+    (md5-derived payloads), so the entry SELF-VERIFIES: the distributed
+    result must equal the same kernels run locally in pandas, else this
+    raises.  Returns per-media feature rows."""
+    import pandas as pd
+
+    from tippecanoe_spark.io.multimodal import (MEDIA_SCHEMA_DDL,
+                                                image_features,
+                                                synth_media_pdf)
+
+    n = 300
+
+    def gen(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                lo = int(r.id) * 50
+                yield synth_media_pdf(50, seed=7, start=lo)
+
+    media = spark.range(n // 50).mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
+    feats = image_features(spark, media)
+    got = feats.toPandas().sort_values("media_id").reset_index(drop=True)
+
+    # local reference computation with the same kernels
+    from tippecanoe_spark.io.multimodal import fake_decode_image
+
+    local = synth_media_pdf(n, seed=7)
+    rows = []
+    for r in local[local["kind"] == "image"].itertuples(index=False):
+        import numpy as np
+
+        img = fake_decode_image(bytes(r.payload), r.width, r.height)
+        rows.append({"media_id": r.media_id, "mean": float(img.mean()),
+                     "std": float(img.std()),
+                     "edges": int(np.abs(np.diff(img.astype(np.int16), axis=1)).sum())})
+    want = pd.DataFrame(rows).sort_values("media_id").reset_index(drop=True)
+    if not got.equals(want):
+        raise AssertionError("multimodal self-check failed: distributed "
+                             "image_features != local kernels")
+    return feats
+
+
 def q_tpch_q1ish(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -744,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_regions": q_pip_regions,
         "knn_brute": q_knn_brute,
         "tile_pyramid": q_tile_pyramid,
+        "multimodal_features": q_multimodal_features,
         "tpch_q1ish": q_tpch_q1ish,
     }
 
