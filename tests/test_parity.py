@@ -196,6 +196,61 @@ def test_shared_borders_synthetic():
 
 
 @requires_reference
+@pytest.mark.parametrize("fixture,layer,opts", [
+    ("muni/muni.json", "muni", "-z5"),
+    ("tl_2018_51685_roads/in.json", "in", "-z7"),
+])
+def test_dirtiles_parity(fixture, layer, opts):
+    """dirtiles writer (-e): tile files byte-identical to the
+    reference's directory output; metadata.json matches on every
+    semantic field (name/description/generator are invocation
+    strings)."""
+    import json
+    import os
+    import subprocess
+    import tempfile
+
+    from tippecanoe_spark.io.dirtiles import write_dirtiles
+    from tippecanoe_spark.io.geojson import feature_records
+    from tippecanoe_spark.operators.stats import build_metadata
+    from tippecanoe_spark.pipeline import build_tiles_local
+
+    from .conftest import REFBIN, options_to_config
+
+    path = f"{REF_TESTS}/{fixture}"
+    with tempfile.TemporaryDirectory() as td:
+        refdir = f"{td}/ref"
+        subprocess.run([REFBIN, "-q", "-f", "-e", refdir] + opts.split() + [path],
+                       check=True, capture_output=True)
+        cfg = options_to_config(opts)
+        feats = feature_records(open(path).read(), layer, cfg)
+        tiles = build_tiles_local([dict(f) for f in feats], cfg)
+        ourdir = f"{td}/ours"
+        meta = build_metadata(feats, tiles, cfg, name=layer)
+        write_dirtiles(ourdir, tiles, meta)
+
+        def tree(base):
+            out = {}
+            for root, _d, files in os.walk(base):
+                for f in files:
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = open(p, "rb").read()
+            return out
+
+        rfiles, ofiles = tree(refdir), tree(ourdir)
+        rtiles = {k: v for k, v in rfiles.items() if k.endswith(".pbf")}
+        otiles = {k: v for k, v in ofiles.items() if k.endswith(".pbf")}
+        assert set(rtiles) == set(otiles)
+        bad = [k for k in rtiles if rtiles[k] != otiles[k]]
+        assert not bad, f"byte-mismatched tile files: {bad[:5]}"
+        refmeta = json.loads(rfiles["metadata.json"])
+        ourmeta = json.loads(ofiles["metadata.json"])
+        for k in ("bounds", "center", "format", "json", "maxzoom",
+                  "minzoom", "type", "version"):
+            assert str(refmeta[k]) == str(ourmeta[k]), k
+
+
+@requires_reference
 def test_geocsv_parity():
     """GeoCSV source vs reference: same csv fixture, -z4."""
     from tippecanoe_spark.io.geocsv import geocsv_features
