@@ -68,6 +68,10 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
+    ("muni/muni.json", "muni", "-z6 --no-tile-compression", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 --no-tiny-polygon-reduction", True),
+    ("muni/muni.json", "muni", "-z6 -O50 --coalesce-fraction-as-needed", True),
+    ("nullisland/in.json", "in", "-z5 --no-tiny-polygon-reduction", True),
     # --calculate-feature-density (density spacing persists across
     # gap-dropped probes, tile.cpp:1761)
     ("muni/muni.json", "muni", "-z6 --calculate-feature-density", True),
