@@ -68,6 +68,8 @@ CASES = [
     ("tl_2018_51685_roads/in.json", "in", "-z7 --coalesce --reorder", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --preserve-input-order", True),
     ("tl_2018_51685_roads/in.json", "in", "-z7 --reverse", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 --drop-lines", True),
+    ("nullisland/in.json", "in", "-z5 --drop-polygons", True),
     ("muni/muni.json", "muni", "-z6 --no-tile-compression", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8 --no-tiny-polygon-reduction", True),
     ("muni/muni.json", "muni", "-z6 -O50 --coalesce-fraction-as-needed", True),
