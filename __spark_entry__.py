@@ -440,54 +440,17 @@ def q_ann_cosine_topk(spark, sf_dir):
                  .select("qid", "rk", "cid", "sim")
 
 
-_LSH_PLANES = 8
-_LSH_DIM = 64
-
-
-def _lsh_bucket_spark() -> str:
-    """Sign-random-projection LSH bucket: deterministic integer
-    hyperplanes w[p][d] = ((p*D + d) * 2654435761) % 2^32 - 2^31 over
-    the 1e6-quantized embedding — engine-neutral integer arithmetic."""
-    bits = []
-    for p in range(_LSH_PLANES):
-        proj = (
-            f"aggregate(sequence(0, {_LSH_DIM - 1}), 0L, (acc, d) -> acc + "
-            f"((({p} * {_LSH_DIM} + d) * {_XMUL}) % {_W} - {1 << 31}) * "
-            "CAST(floor(CAST(element_at(embedding, CAST(d + 1 AS INT)) AS DOUBLE)"
-            " * 1000000) AS BIGINT))"
-        )
-        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
-
-
 def q_ann_lsh(spark, sf_dir):
-    """Scalable ANN: sign-random-projection LSH bucketing, then exact
-    quantized-cosine re-rank WITHIN buckets — an equi-join on bucket id
-    (hash join, broadcast-able) instead of the crossJoin baseline; the
-    plan survives 100x growth because candidates per query are bounded
-    by bucket occupancy."""
-    emb = _load(spark, sf_dir, "embeddings")
-    b = emb.selectExpr("vec_id", "embedding", _lsh_bucket_spark() + " AS bucket")
-    qv = b.filter("vec_id < 10").selectExpr("vec_id AS qid", "embedding AS qe", "bucket")
-    cv = b.filter("vec_id >= 10").selectExpr("vec_id AS cid", "embedding AS ce", "bucket")
-    pairs = qv.join(cv, "bucket")
-    dot = (
-        "aggregate(zip_with(qe, ce, (x, y) -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
-        " * CAST(floor(CAST(y AS DOUBLE) * 1000000) AS BIGINT)), 0L, (acc, v) -> acc + v)"
-    )
-    na = ("aggregate(transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
-          " * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 0L, (acc, v) -> acc + v)")
-    nb = ("aggregate(transform(ce, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
-          " * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), 0L, (acc, v) -> acc + v)")
-    scored = pairs.selectExpr(
-        "bucket", "qid", "cid",
-        f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS sim",
-    )
-    from pyspark.sql.window import Window
+    """Scalable ANN (operators.ann): multi-band sign-random-projection
+    LSH (B independent bucket ids, OR-construction for recall) with the
+    plane count derived from corpus size so expected bucket occupancy —
+    and candidates per query — stays ~constant as N grows, then exact
+    quantized-cosine re-rank over the deduped candidate union.  Hash
+    joins on (band, bucket) only; no crossJoin."""
+    from tippecanoe_spark.operators.ann import ann_lsh_topk
 
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 3") \
-                 .select("qid", "rk", "cid", "sim", "bucket")
+    emb = _load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, k=3, bands=4)
 
 
 def q_knn_cell(spark, sf_dir):
@@ -830,32 +793,13 @@ _QK_DUCK = _qk_expr("x32", "y32")
 
 
 def _ann_lsh_oracle() -> str:
-    """DuckDB mirror of q_ann_lsh (same deterministic hyperplanes)."""
-    bits = []
-    for p in range(_LSH_PLANES):
-        proj = (
-            f"CAST(list_sum(list_transform(generate_series(0, {_LSH_DIM - 1}), "
-            f"d -> ((({p} * {_LSH_DIM} + d) * {_XMUL}) % {_W} - {1 << 31}) * "
-            "CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)"
-        )
-        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
-    bucket = "(" + " + ".join(bits) + ")"
-    qi = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
-          " AS BIGINT))")
-    return (
-        f"WITH b AS (SELECT vec_id, {qi} AS qe, {bucket} AS bucket FROM embeddings), "
-        "q AS (SELECT vec_id AS qid, qe, bucket FROM b WHERE vec_id < 10), "
-        "c AS (SELECT vec_id AS cid, qe AS ce, bucket FROM b WHERE vec_id >= 10), "
-        "scored AS (SELECT q.bucket, qid, cid, "
-        "round(CAST(list_sum(list_transform(generate_series(1, len(qe)), "
-        "i -> qe[i] * ce[i])) AS DOUBLE) / "
-        "(sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) * "
-        "sqrt(CAST(list_sum(list_transform(ce, x -> x * x)) AS DOUBLE))), 6) AS sim "
-        "FROM q JOIN c ON q.bucket = c.bucket), "
-        "ranked AS (SELECT bucket, qid, cid, sim, row_number() OVER ("
-        "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
-        "SELECT qid, rk, cid, sim, bucket FROM ranked WHERE rk <= 3"
-    )
+    """DuckDB mirror of q_ann_lsh.  The correctness run is at sf0.01
+    where `embeddings` has 500 rows, so the oracle bakes in
+    planes_for(500) — the same derivation ann_lsh_topk applies at
+    runtime."""
+    from tippecanoe_spark.operators.ann import ann_lsh_oracle_sql, planes_for
+
+    return ann_lsh_oracle_sql(k=3, bands=4, planes=planes_for(500))
 
 
 def oracle_sql() -> dict[str, str]:

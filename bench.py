@@ -181,6 +181,13 @@ def main():
     ext_s = statistics.median(r[2] for r in runs)
     qtimes["tile_build"] = build_s
 
+    # ANN LSH candidate accounting (the sublinearity evidence: planes
+    # scale with corpus size, so candidates/query stays ~bounded)
+    from tippecanoe_spark.operators.ann import ann_lsh_candidate_stats
+
+    ann_stats = ann_lsh_candidate_stats(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+
     # shuffle-row reduction from the witness-lemma shrink on a z0-z8
     # --drop-densest-as-needed build (the as-needed modes disable the
     # plain prefilter; the shrink is what keeps hot z0-z4 groups small)
@@ -227,6 +234,7 @@ def main():
         },
         "shrink_drop_densest_z8": shrink_stats,
         "tile_build_10x": growth,
+        "ann_lsh_candidates": ann_stats,
     }
 
     if "--scaling" in sys.argv:

@@ -217,22 +217,15 @@ def options_to_config(options: str, maxzoom_default: int = 14):
 
 
 def run_ours(input_path: str, options: str, layer: str | None = None) -> dict:
-    """Build the same tileset with our local cascade runner."""
-    import gzip as _gzip
-
-    from tippecanoe_spark.io.geojson import feature_records
+    """Build the same tileset with our local cascade runner (gzip
+    handled by the ENGINE read path, io.geojson.read_file_text)."""
+    from tippecanoe_spark.io.geojson import feature_records, layer_name_from_path, read_file_text
     from tippecanoe_spark.pipeline import build_tiles_local
-
-    from tippecanoe_spark.io.geojson import layer_name_from_path
 
     cfg = options_to_config(options)
     if layer is None:
         layer = layer_name_from_path(input_path)
-    if input_path.endswith(".gz"):
-        text = _gzip.open(input_path, "rt").read()
-    else:
-        text = open(input_path).read()
-    feats = feature_records(text, layer, cfg)
+    feats = feature_records(read_file_text(input_path), layer, cfg)
     if cfg.guess_maxzoom_flag or cfg.basezoom < 0 or cfg.droprate < 0:
         from tippecanoe_spark.operators.guess import resolve_guesses
 

@@ -1,0 +1,110 @@
+"""Multi-band LSH ANN (operators.ann): recall on a planted-neighbor
+corpus, candidate sublinearity as the corpus grows, and DuckDB oracle
+equivalence of the bucket arithmetic.
+
+Recall protocol: the sf testdata embeddings are near-random (true top-3
+cosine ~0.3 — see VERDICT r2 / docs/SCALING.md note), where NO
+sublinear method can hit high recall, so the recall bar is evaluated on
+a planted corpus: queries are small perturbations of corpus vectors
+(cosine ~0.95), the standard near-duplicate retrieval case LSH exists
+for.  The sf-corpus behavior is covered by the driver's oracle row
+(exactness of the candidate set + re-rank, not recall)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tippecanoe_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def _planted_corpus(n, dim=64, n_queries=10, seed=7, noise=0.04):
+    """Each query has THREE planted near-duplicates in the corpus
+    (cosine ~0.95, the near-dup retrieval case); everything else is
+    random (cosine ~0.3), so brute top-3 == the planted set."""
+    rng = np.random.RandomState(seed)
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_queries):
+        q = base[i] / np.linalg.norm(base[i])
+        rows.append((i, [float(x) for x in q], 0))
+    for i in range(n_queries, n):
+        if i < n_queries * 4:  # 3 planted neighbors per query
+            src = base[(i - n_queries) % n_queries]
+            v = src + noise * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+        else:
+            v = base[i]
+        rows.append((i, [float(x) for x in v], 1))
+    return rows
+
+
+def _brute_topk(rows, k=3, n_queries=10):
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows])
+    Vq = np.floor(V * 1e6)  # the engine's quantization
+    out = {}
+    qm = ids < n_queries
+    cm = ~qm
+    cids = ids[cm]
+    sims = (Vq[qm] @ Vq[cm].T) / (
+        np.linalg.norm(Vq[qm], axis=1)[:, None] * np.linalg.norm(Vq[cm], axis=1)[None, :])
+    for qi, qid in enumerate(ids[qm]):
+        order = np.lexsort((cids, -sims[qi]))[:k]
+        out[int(qid)] = {int(cids[j]) for j in order}
+    return out
+
+
+def test_lsh_recall_planted(spark):
+    from tippecanoe_spark.operators.ann import ann_lsh_topk
+
+    rows = _planted_corpus(800)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = ann_lsh_topk(emb, k=3, bands=4).collect()
+    brute = _brute_topk(rows)
+    hit = sum(1 for r in got if r["cid"] in brute[r["qid"]])
+    total = sum(len(v) for v in brute.values())
+    recall = hit / total
+    assert recall >= 0.9, f"planted-neighbor recall {recall:.2f} < 0.9"
+
+
+def test_lsh_candidates_sublinear(spark):
+    """candidates/query must grow much slower than the corpus: the
+    plane count scales with N (planes_for), so expected bucket
+    occupancy stays ~constant."""
+    from tippecanoe_spark.operators.ann import ann_lsh_candidate_stats
+
+    stats = {}
+    for n in (800, 3200):
+        rows = _planted_corpus(n)
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        stats[n] = ann_lsh_candidate_stats(emb)
+    growth = stats[3200]["candidates_per_query"] / max(stats[800]["candidates_per_query"], 1)
+    assert stats[3200]["planes_per_band"] > stats[800]["planes_per_band"]
+    assert growth < 2.5, (stats, "4x corpus must not give ~4x candidates")
+
+
+def test_lsh_oracle_equivalence(spark):
+    """Spark and DuckDB produce identical buckets, candidates, and
+    ranked output (the driver's correctness row, reproduced here)."""
+    duckdb = pytest.importorskip("duckdb")
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    sdf = (E.q_ann_lsh(spark, sf).toPandas()
+           .sort_values(["qid", "rk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    odf = (con.execute(E.oracle_sql()["ann_lsh"]).df()
+           .sort_values(["qid", "rk"]).reset_index(drop=True))
+    assert len(sdf) == len(odf) > 0
+    assert sdf[["qid", "rk", "cid"]].astype("int64").equals(
+        odf[["qid", "rk", "cid"]].astype("int64"))
+    assert float((sdf["sim"] - odf["sim"]).abs().max()) == 0.0

@@ -121,6 +121,23 @@ def test_fixture_parity(fixture, layer, options, require_bytes):
 
 
 @requires_reference
+def test_gzip_input_parity(tmp_path):
+    """.gz input through the ENGINE read path (io.geojson.read_file_text
+    magic-sniff) vs the reference reading the same gzipped file
+    (main.cpp:486-561): byte-identical tilesets."""
+    import gzip
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    gz = tmp_path / "muni.json.gz"
+    with open(src, "rb") as f:
+        gz.write_bytes(gzip.compress(f.read()))
+    ref = run_reference(str(gz), "-z6")
+    ours = run_ours(str(gz), "-z6", layer="muni")
+    assert len(ref) > 0
+    assert_tilesets_equal(ref, ours, require_bytes=True)
+
+
+@requires_reference
 def test_wraparound_union():
     path = f"{REF_TESTS}/wraparound/in.json"
     ref = run_reference(path, "-z4")

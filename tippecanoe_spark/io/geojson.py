@@ -63,6 +63,30 @@ def layer_name_from_path(path: str, source_index: int = 0) -> str:
     return out
 
 
+def read_file_text(path: str) -> str:
+    """Engine read path with transparent gzip: the reference sniffs and
+    inflates compressed inputs regardless of suffix (main.cpp:486-561);
+    here the 2-byte gzip magic selects the codec.  (On the Spark side,
+    spark.read.text handles .gz via Hadoop codecs; this is the local /
+    per-file path.)"""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    return data.decode("utf-8")
+
+
+def feature_records_path(path: str, cfg: TileConfig, layer: str | None = None,
+                         seq_start: int = 0):
+    """feature_records over a file path (gzip-transparent), layer named
+    from the filename like the reference (main.cpp:1255-1298)."""
+    if layer is None:
+        layer = layer_name_from_path(path)
+    return feature_records(read_file_text(path), layer, cfg, seq_start)
+
+
 class RawNumber(str):
     """JSON number with its source text preserved (jsonpull keeps both
     the text and the parsed double; we subclass str for the text and

@@ -1,0 +1,165 @@
+"""Approximate nearest neighbors over an embedding column.
+
+Scale path for the training-data similarity ops: multi-band
+sign-random-projection LSH.  Every vector gets B independent bucket ids
+(one per band, P hyperplanes each); candidates are the UNION over bands
+of equi-join matches (OR-construction — recall compounds across bands,
+1-(1-r^P)^B, while each join stays a plain hash join on (band,
+bucket)), deduped per (query, candidate), then exactly re-ranked with
+integer-quantized cosine so the ranking is engine-neutral.
+
+Plane count scales with corpus size: P = max(4, ceil(log2(n /
+occupancy))) keeps expected bucket occupancy — and with it candidates
+per query — roughly constant as N grows.  (A fixed plane count gives
+N / 2^P candidates per query: O(N).)
+
+Hyperplanes are deterministic integers, w[b][p][d] = (((b*P + p) * D +
+d) * 2654435761) % 2^32 - 2^31, applied to the 1e6-quantized embedding:
+no RNG and no floats in the bucketing, so DuckDB reproduces the buckets
+bit-for-bit (the correctness oracle).
+"""
+
+from __future__ import annotations
+
+import math
+
+_XMUL = 2654435761
+_W = 1 << 32
+
+
+def planes_for(n: int, occupancy: int = 64) -> int:
+    """Hyperplanes per band so that expected bucket occupancy stays
+    ~`occupancy` as the corpus grows (2^P buckets per band)."""
+    if n <= occupancy:
+        return 4
+    return max(4, math.ceil(math.log2(n / occupancy)))
+
+
+def _quant(col: str) -> str:
+    return (f"CAST(floor(CAST({col} AS DOUBLE) * 1000000) AS BIGINT)")
+
+
+def band_bucket_expr(band: int, planes: int, dim: int,
+                     col: str = "embedding", duck: bool = False) -> str:
+    """SQL for one band's bucket id (unrolled per plane; identical
+    arithmetic in Spark SQL and DuckDB)."""
+    bits = []
+    for p in range(planes):
+        seed = (band * planes + p) * dim
+        if duck:
+            proj = (
+                f"CAST(list_sum(list_transform(generate_series(0, {dim - 1}), "
+                f"d -> ((({seed} + d) * {_XMUL}) % {_W} - {1 << 31}) * "
+                f"{_quant(f'{col}[d + 1]')})) AS BIGINT)"
+            )
+        else:
+            proj = (
+                f"aggregate(sequence(0, {dim - 1}), 0L, (acc, d) -> acc + "
+                f"((({seed} + d) * {_XMUL}) % {_W} - {1 << 31}) * "
+                f"{_quant(f'element_at({col}, CAST(d + 1 AS INT))')})"
+            )
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
+                 dim: int = 64, n: int | None = None,
+                 query_pred: str = "vec_id < 10"):
+    """Top-k approximate cosine neighbors for the rows matching
+    query_pred against the rest, via multi-band LSH + exact re-rank.
+
+    Plan shape (the 100 TB argument): B hash joins on (band, bucket) —
+    expressed as ONE join after exploding the band array — then a
+    per-query window over the deduped candidate set.  No crossJoin
+    anywhere; candidate volume per query ~ B * occupancy."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if planes is None:
+        planes = planes_for(n if n is not None else emb.count())
+
+    bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
+    withb = emb.selectExpr("vec_id", "embedding", *bexprs)
+    exploded = withb.select(
+        "vec_id", "embedding",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
+        .alias("band", "bucket"))
+    qv = exploded.filter(query_pred).selectExpr(
+        "vec_id AS qid", "embedding AS qe", "band", "bucket")
+    cv = exploded.filter(f"NOT ({query_pred})").selectExpr(
+        "vec_id AS cid", "embedding AS ce", "band", "bucket")
+    cand = (qv.join(cv, ["band", "bucket"])
+              .dropDuplicates(["qid", "cid"]))
+
+    dot = (f"aggregate(zip_with(qe, ce, (x, y) -> {_quant('x')} * {_quant('y')}), "
+           "0L, (acc, v) -> acc + v)")
+    na = (f"aggregate(transform(qe, x -> {_quant('x')} * {_quant('x')}), "
+          "0L, (acc, v) -> acc + v)")
+    nb = (f"aggregate(transform(ce, x -> {_quant('x')} * {_quant('x')}), "
+          "0L, (acc, v) -> acc + v)")
+    scored = cand.selectExpr(
+        "qid", "cid", f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS sim")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(f"rk <= {k}").select("qid", "rk", "cid", "sim"))
+
+
+def ann_lsh_candidate_stats(emb, bands: int = 4, planes: int | None = None,
+                            dim: int = 64, n: int | None = None,
+                            query_pred: str = "vec_id < 10") -> dict:
+    """Candidates-per-query accounting (the sublinearity evidence the
+    bench records): distinct (qid, cid) candidate pairs / #queries."""
+    from pyspark.sql import functions as F
+
+    n = n if n is not None else emb.count()
+    if planes is None:
+        planes = planes_for(n)
+    bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
+    withb = emb.selectExpr("vec_id", *bexprs)
+    exploded = withb.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
+        .alias("band", "bucket"))
+    qv = exploded.filter(query_pred).selectExpr("vec_id AS qid", "band", "bucket")
+    cv = exploded.filter(f"NOT ({query_pred})").selectExpr("vec_id AS cid", "band", "bucket")
+    nq = qv.select("qid").distinct().count()
+    cand = qv.join(cv, ["band", "bucket"]).select("qid", "cid").distinct().count()
+    return {
+        "corpus": n,
+        "bands": bands,
+        "planes_per_band": planes,
+        "buckets_per_band": 1 << planes,
+        "queries": nq,
+        "candidates": cand,
+        "candidates_per_query": round(cand / nq, 2) if nq else 0.0,
+    }
+
+
+def ann_lsh_oracle_sql(k: int = 3, bands: int = 4, planes: int = 4,
+                       dim: int = 64, table: str = "embeddings",
+                       query_pred: str = "vec_id < 10") -> str:
+    """DuckDB mirror of ann_lsh_topk (same deterministic hyperplanes,
+    same dedup + tie-break)."""
+    qi = (f"list_transform(embedding, x -> {_quant('x')})")
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, {qi} AS qe, {b} AS band, "
+        f"{band_bucket_expr(b, planes, dim, duck=True)} AS bucket FROM {table}"
+        for b in range(bands))
+    return (
+        f"WITH b AS ({per_band}), "
+        f"q AS (SELECT vec_id AS qid, qe, band, bucket FROM b WHERE {query_pred}), "
+        f"c AS (SELECT vec_id AS cid, qe AS ce, band, bucket FROM b WHERE NOT ({query_pred})), "
+        "cand AS (SELECT DISTINCT qid, cid FROM q JOIN c USING (band, bucket)), "
+        "pairs AS (SELECT qid, cid, "
+        "(SELECT qe FROM b WHERE b.vec_id = qid LIMIT 1) AS qe, "
+        "(SELECT qe FROM b WHERE b.vec_id = cid LIMIT 1) AS ce FROM cand), "
+        "scored AS (SELECT qid, cid, "
+        "round(CAST(list_sum(list_transform(generate_series(1, len(qe)), "
+        "i -> qe[i] * ce[i])) AS DOUBLE) / "
+        "(sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) * "
+        "sqrt(CAST(list_sum(list_transform(ce, x -> x * x)) AS DOUBLE))), 6) AS sim "
+        "FROM pairs), "
+        "ranked AS (SELECT qid, cid, sim, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
+        f"SELECT qid, rk, cid, sim FROM ranked WHERE rk <= {k}"
+    )
