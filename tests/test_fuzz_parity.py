@@ -1,14 +1,11 @@
 """Randomized end-to-end parity fuzz: random feature collections of
-points, lines, and simple (convex) polygons across random zooms and
-option mixes must build byte-identical tilesets to the compiled
-reference.
-
-Adversarial SELF-INTERSECTING polygons are excluded by construction:
-wagyu's Vatti sweep places sub-pixel crossing nodes from original edge
-trajectories (scanbeam-interpolated, double precision), which a
-one-shot snapped arrangement can only match canonically, not byte-wise
-(measured: ~20% of random self-intersecting polygons differ by 1-pixel
-crossing placements; 0% of simple geometry differs).
+points, lines, and polygons — including adversarial SELF-INTERSECTING
+polygons — across random zooms and option mixes must build
+byte-identical tilesets to the compiled reference.  The former
+self-intersection exclusion is lifted: the sweep-faithful wagyu port
+(core.wagyu) reproduces the reference's crossing placement and
+sweep-history ring anchors exactly (round-3; 2,800/2,800 byte-exact in
+the direct clean_or_clip fuzz vs .refbuild/clean_test).
 """
 
 from __future__ import annotations
@@ -43,13 +40,22 @@ def _rand_feature(rng, i):
             lat += rng.uniform(-0.8, 0.8)
             pts.append([round(lon, 6), round(lat, 6)])
         geom = {"type": "LineString", "coordinates": pts}
-    else:
+    elif t < 0.9:
         n = rng.randint(3, 10)
         clon, clat = rng.uniform(-170, 170), rng.uniform(-70, 70)
         r = rng.uniform(0.05, 2.5)
         ring = [[round(clon + r * math.cos(2 * math.pi * k / n), 6),
                  round(clat + r * 0.7 * math.sin(2 * math.pi * k / n), 6)]
                 for k in range(n)]
+        ring.append(ring[0])
+        geom = {"type": "Polygon", "coordinates": [ring]}
+    else:
+        # adversarial self-intersecting polygon (random star walk)
+        n = rng.randint(4, 10)
+        clon, clat = rng.uniform(-170, 170), rng.uniform(-70, 70)
+        ring = [[round(clon + rng.uniform(-2.0, 2.0), 6),
+                 round(clat + rng.uniform(-1.5, 1.5), 6)]
+                for _ in range(n)]
         ring.append(ring[0])
         geom = {"type": "Polygon", "coordinates": [ring]}
     return {"type": "Feature", "properties": props, "geometry": geom}

@@ -147,28 +147,23 @@ def test_wraparound_union():
 
 @requires_reference
 def test_dateline_union():
-    # canonical-ring equality: the union topology matches; 20/102 tiles
-    # differ only in wagyu's sweep-history ring anchor/order
+    # byte-exact since the sweep-faithful wagyu port (core.wagyu):
+    # ring anchors and crossing placement now reproduce the reference
     path = f"{REF_TESTS}/dateline/in.json"
     ref = run_reference(path, "-z5")
     ours = run_ours(path, "-z5", layer="in")
-    assert_tilesets_equal(ref, ours, require_bytes=False, canonical_rings=True)
+    assert_tilesets_equal(ref, ours, require_bytes=True)
 
 
 @requires_reference
 def test_shared_borders_synthetic():
     """-ab / --detect-shared-borders on a synthetic pair of polygons
     with a vertex-identical shared border: arcs must be simplified once
-    so neighbors keep matching borders.  Tiles are byte-identical except
-    where the ring touches the tile buffer boundary (wagyu's sweep
-    orders those touch cycles differently); there the vertex multisets
-    must still match exactly."""
-    import gzip
+    so neighbors keep matching borders.  Byte-identical everywhere since
+    the sweep-faithful wagyu port (buffer-boundary touch cycles now
+    anchor like the reference)."""
     import json
     import random
-    from collections import Counter
-
-    from tippecanoe_spark.core.mvt import decode_tile
 
     rng = random.Random(7)
     border = [(10.0, -20.0)]
@@ -201,21 +196,7 @@ def test_shared_borders_synthetic():
                  "-z5 -S4 --detect-shared-borders"):
         ref = run_reference(path, opts)
         ours = run_ours(path, opts, layer=None)
-        assert set(ref) == set(ours)
-        bad = [k for k in ref if ref[k] != ours[k]]
-        assert len(bad) <= max(1, len(ref) // 10), \
-            f"too many byte-mismatched tiles: {len(bad)}/{len(ref)}"
-        for k in bad:
-            rt = decode_tile(gzip.decompress(ref[k]))
-            ot = decode_tile(gzip.decompress(ours[k]))
-            for rl, ol in zip(rt.layers, ot.layers):
-                assert len(rl.features) == len(ol.features)
-                for rf, of in zip(rl.features, ol.features):
-                    rm = Counter((x, y) for op, x, y in rf.geometry
-                                 if op in (1, 2))
-                    om = Counter((x, y) for op, x, y in of.geometry
-                                 if op in (1, 2))
-                    assert rm == om, f"vertex multisets differ in {k}"
+        assert_tilesets_equal(ref, ours, require_bytes=True)
 
 
 @requires_reference

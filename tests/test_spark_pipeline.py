@@ -74,6 +74,37 @@ def test_pages_extract_and_text_invariant(spark):
     assert feats.count() == 300
 
 
+def test_geojson_files_source(spark, tmp_path):
+    """Distributed GeoJSON file source (io.geojson.geojson_files_df):
+    one plain + one gzipped copy of a fixture build byte-identically to
+    the local runner fed the same two files (two layers, one per file,
+    like the reference's multi-source invocation)."""
+    import gzip
+
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.geojson import feature_records, geojson_files_df
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local
+
+    src = "/root/reference/tests/muni/muni.json"
+    p1 = tmp_path / "alpha.json"
+    p2 = tmp_path / "beta.json.gz"
+    raw = open(src, "rb").read()
+    p1.write_bytes(raw)
+    p2.write_bytes(gzip.compress(raw))
+
+    cfg = TileConfig(maxzoom=5)
+    df = geojson_files_df(spark, [str(p1), str(p2)], cfg)
+    got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+           for r in build_tiles(spark, df, cfg).collect()}
+
+    text = raw.decode("utf-8")
+    feats = feature_records(text, "alpha", cfg, seq_start=0 << 40) + \
+        feature_records(text, "beta", cfg, seq_start=1 << 40)
+    local = build_tiles_local(feats, cfg)
+    assert got == local
+    assert len(got) > 0
+
+
 def test_spark_shrink_modes_match_local(spark):
     """The witness-lemma shrink (operators.tiler.shrink_dropped_pdf) is
     active for as-needed/accumulate configs on the Spark path; output

@@ -1,0 +1,3201 @@
+"""Sweep-faithful port of the wagyu polygon clipper (public mapbox/wagyu
+v0.5.0, BSD-2), as vendored in the reference under
+/root/reference/mapbox/geometry/wagyu/ and driven by
+clean_or_clip_poly (/root/reference/geometry.cpp:223-325).
+
+Why this exists alongside core/polyclean.py: tippecanoe's OUTPUT BYTES
+depend on wagyu's sweep history — the output ring starts at the point
+where the Vatti sweep happened to build the ring's linked list head,
+and crossing vertices are doubles interpolated on the original edge
+trajectories in scanbeam order, then llround()ed.  An independent
+arrangement (polyclean) reproduces the canonical rings but not the
+anchor/rounding history, leaving a byte-level divergence class
+(VERDICT r2 item 2).  This module replays the exact pipeline:
+
+    build_local_minima_list -> build_hot_pixels (snap rounding)
+    -> execute_vatti -> correct_topology -> build_result
+
+Every function cites its source header.  Fidelity notes:
+- double arithmetic follows the C++ expression order (Python floats
+  are IEEE doubles with identical semantics);
+- values_are_equal is the 4-ULP comparison (almost_equal.hpp);
+- llround = round half away from zero (util.hpp wround);
+- std::stable_sort == sorted() (both stable);
+- the connection multimap reproduces libstdc++'s equal-key insertion
+  order (new equivalent keys land right after the first one).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from bisect import bisect_left
+
+# ---------------------------------------------------------------------------
+# config.hpp
+
+CLIP_INTERSECTION, CLIP_UNION, CLIP_DIFFERENCE, CLIP_XOR = 0, 1, 2, 3
+PT_SUBJECT, PT_CLIP = 0, 1
+FT_EVEN_ODD, FT_NON_ZERO, FT_POSITIVE, FT_NEGATIVE = 0, 1, 2, 3
+EDGE_LEFT, EDGE_RIGHT = 0, 1
+
+# ---------------------------------------------------------------------------
+# almost_equal.hpp + util.hpp
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+
+_SIGN = 1 << 63
+_M64 = (1 << 64) - 1
+
+
+def values_are_equal(x: float, y: float) -> bool:
+    """4-ULP AlmostEquals (almost_equal.hpp)."""
+    if math.isnan(x) or math.isnan(y):
+        return False
+    bx = _bits(x)
+    by = _bits(y)
+    bx = (~bx + 1) & _M64 if bx & _SIGN else (_SIGN | bx)
+    by = (~by + 1) & _M64 if by & _SIGN else (_SIGN | by)
+    return (bx - by if bx >= by else by - bx) <= 4
+
+
+def value_is_zero(v: float) -> bool:
+    return values_are_equal(v, 0.0)
+
+
+def greater_than_or_equal(x: float, y: float) -> bool:
+    return x > y or values_are_equal(x, y)
+
+
+def greater_than(x: float, y: float) -> bool:
+    return (not values_are_equal(x, y)) and x > y
+
+
+def less_than(x: float, y: float) -> bool:
+    return (not values_are_equal(x, y)) and x < y
+
+
+def llround(v: float) -> int:
+    """C llround: round half away from zero."""
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def slopes_equal3(p1, p2, p3) -> bool:
+    return (p1[1] - p2[1]) * (p2[0] - p3[0]) == (p1[0] - p2[0]) * (p2[1] - p3[1])
+
+
+# ---------------------------------------------------------------------------
+# edge.hpp
+
+
+class Edge:
+    __slots__ = ("bot", "top", "dx")
+
+    def __init__(self, current, next_pt):
+        self.bot = current
+        self.top = current
+        if current[1] >= next_pt[1]:
+            self.top = next_pt
+        else:
+            self.bot = next_pt
+        self._recompute_dx()
+
+    def _recompute_dx(self):
+        dy = float(self.top[1] - self.bot[1])
+        if value_is_zero(dy):
+            self.dx = math.inf
+        else:
+            self.dx = float(self.top[0] - self.bot[0]) / dy
+
+
+def is_horizontal(e: Edge) -> bool:
+    return math.isinf(e.dx)
+
+
+def get_current_x(e: Edge, current_y: int) -> float:
+    if current_y == e.top[1]:
+        return float(e.top[0])
+    return float(e.bot[0]) + e.dx * float(current_y - e.bot[1])
+
+
+def slopes_equal_edges(e1: Edge, e2: Edge) -> bool:
+    return (e1.top[1] - e1.bot[1]) * (e2.top[0] - e2.bot[0]) == \
+           (e1.top[0] - e1.bot[0]) * (e2.top[1] - e2.bot[1])
+
+
+def reverse_horizontal(e: Edge):
+    """local_minimum_util.hpp reverse_horizontal: swap top/bot x."""
+    bx, by = e.bot
+    tx, ty = e.top
+    e.bot = (tx, by)
+    e.top = (bx, ty)
+
+
+# ---------------------------------------------------------------------------
+# bound.hpp
+
+
+class Bound:
+    __slots__ = ("edges", "ce", "last_point", "ring", "maximum_bound",
+                 "current_x", "pos", "wc", "wc2", "wd", "poly_type", "side")
+
+    def __init__(self):
+        self.edges = []
+        self.ce = 0                  # current_edge index; next_edge == ce+1
+        self.last_point = (0, 0)
+        self.ring = None
+        self.maximum_bound = None
+        self.current_x = 0.0
+        self.pos = 0
+        self.wc = 0
+        self.wc2 = 0
+        self.wd = 0
+        self.poly_type = PT_SUBJECT
+        self.side = EDGE_LEFT
+
+    @property
+    def current_edge(self) -> Edge:
+        return self.edges[self.ce]
+
+    def next_is_end(self) -> bool:
+        return self.ce + 1 >= len(self.edges)
+
+    @property
+    def next_edge(self) -> Edge:
+        return self.edges[self.ce + 1]
+
+
+class LocalMinimum:
+    __slots__ = ("left_bound", "right_bound", "y", "minimum_has_horizontal")
+
+    def __init__(self, left_bound, right_bound, y, has_horz):
+        self.left_bound = left_bound
+        self.right_bound = right_bound
+        self.y = y
+        self.minimum_has_horizontal = has_horz
+
+
+# ---------------------------------------------------------------------------
+# point.hpp / ring.hpp
+
+
+class Point:
+    __slots__ = ("ring", "x", "y", "next", "prev")
+
+    def __init__(self, ring, x, y):
+        self.ring = ring
+        self.x = x
+        self.y = y
+        self.next = self
+        self.prev = self
+
+
+def pt_eq(a, b) -> bool:
+    return a.x == b.x and a.y == b.y
+
+
+class Ring:
+    __slots__ = ("ring_index", "size_", "area_", "bbox", "parent", "children",
+                 "points", "bottom_point", "is_hole_", "corrected")
+
+    def __init__(self):
+        self.ring_index = 0
+        self.size_ = 0
+        self.area_ = None  # None == NaN sentinel
+        self.bbox = (0, 0, 0, 0)
+        self.parent = None
+        self.children = []
+        self.points = None
+        self.bottom_point = None
+        self.is_hole_ = False
+        self.corrected = False
+
+    def reset_stats(self):
+        self.area_ = None
+        self.is_hole_ = False
+        self.bbox = (0, 0, 0, 0)
+        self.size_ = 0
+
+    def recalculate_stats(self):
+        if self.points is not None:
+            a, s, box = area_from_point(self.points)
+            self.area_ = a
+            self.size_ = s
+            self.bbox = box
+            self.is_hole_ = not (a > 0.0)
+
+    def set_stats(self, a, s, box):
+        self.bbox = box
+        self.area_ = a
+        self.size_ = s
+        self.is_hole_ = not (a > 0.0)
+
+    def area(self) -> float:
+        if self.area_ is None:
+            self.recalculate_stats()
+        return self.area_
+
+    def is_hole(self) -> bool:
+        if self.area_ is None:
+            self.recalculate_stats()
+        return self.is_hole_
+
+    def size(self) -> int:
+        if self.area_ is None:
+            self.recalculate_stats()
+        return self.size_
+
+
+def area_from_point(op: Point):
+    """ring.hpp area_from_point: (area, size, bbox)."""
+    start = op
+    size = 0
+    a = 0.0
+    min_x = max_x = op.x
+    min_y = max_y = op.y
+    while True:
+        size += 1
+        if op.x > max_x:
+            max_x = op.x
+        elif op.x < min_x:
+            min_x = op.x
+        if op.y > max_y:
+            max_y = op.y
+        elif op.y < min_y:
+            min_y = op.y
+        a += float(op.prev.x + op.x) * float(op.prev.y - op.y)
+        op = op.next
+        if op is start:
+            break
+    return a * 0.5, size, (min_x, min_y, max_x, max_y)
+
+
+class RingManager:
+    __slots__ = ("children", "all_points", "hot_pixels", "current_hp",
+                 "rings", "index")
+
+    def __init__(self):
+        self.children = []
+        self.all_points = []
+        self.hot_pixels = []
+        self.current_hp = 0
+        self.rings = []
+        self.index = 0
+
+
+def create_new_ring(mgr: RingManager) -> Ring:
+    r = Ring()
+    r.ring_index = mgr.index
+    mgr.index += 1
+    mgr.rings.append(r)
+    return r
+
+
+def create_new_point(r, pt, mgr, before=None) -> Point:
+    p = Point(r, pt[0], pt[1])
+    if before is not None:
+        p.next = before
+        p.prev = before.prev
+        before.prev = p
+        p.prev.next = p
+    mgr.all_points.append(p)
+    return p
+
+
+def set_to_children(r, children):
+    for i, c in enumerate(children):
+        if c is None:
+            children[i] = r
+            return
+    children.append(r)
+
+
+def remove_from_children(r, children):
+    for i, c in enumerate(children):
+        if c is r:
+            children[i] = None
+            return
+
+
+def assign_as_child(new_ring, parent, mgr):
+    if (parent is None and new_ring.is_hole()) or \
+       (parent is not None and new_ring.is_hole() == parent.is_hole()):
+        raise RuntimeError("Trying to assign a child that is the same orientation as the parent")
+    children = mgr.children if parent is None else parent.children
+    set_to_children(new_ring, children)
+    new_ring.parent = parent
+
+
+def reassign_as_child(ring, parent, mgr):
+    if (parent is None and ring.is_hole()) or \
+       (parent is not None and ring.is_hole() == parent.is_hole()):
+        raise RuntimeError("Trying to re-assign a child that is the same orientation as the parent")
+    old = mgr.children if ring.parent is None else ring.parent.children
+    remove_from_children(ring, old)
+    children = mgr.children if parent is None else parent.children
+    set_to_children(ring, children)
+    ring.parent = parent
+
+
+def assign_as_sibling(new_ring, sibling, mgr):
+    if new_ring.is_hole() != sibling.is_hole():
+        raise RuntimeError("Trying to assign to be a sibling that is not the same orientation as the sibling")
+    children = mgr.children if sibling.parent is None else sibling.parent.children
+    set_to_children(new_ring, children)
+    new_ring.parent = sibling.parent
+
+
+def reassign_as_sibling(ring, sibling, mgr):
+    if ring.parent is sibling.parent:
+        return
+    if ring.is_hole() != sibling.is_hole():
+        raise RuntimeError("Trying to assign to be a sibling that is not the same orientation as the sibling")
+    old = mgr.children if ring.parent is None else ring.parent.children
+    remove_from_children(ring, old)
+    children = mgr.children if sibling.parent is None else sibling.parent.children
+    set_to_children(ring, children)
+    ring.parent = sibling.parent
+
+
+def ring1_replaces_ring2(ring1, ring2, mgr):
+    assert ring1 is not ring2
+    r1c = mgr.children if ring1 is None else ring1.children
+    for i, c in enumerate(ring2.children):
+        if c is None:
+            continue
+        c.parent = ring1
+        set_to_children(c, r1c)
+        ring2.children[i] = None
+    old = mgr.children if ring2.parent is None else ring2.parent.children
+    remove_from_children(ring2, old)
+    ring2.points = None
+    ring2.reset_stats()
+
+
+def remove_ring_and_points(r, mgr, remove_children=True, remove_from_parent=True):
+    for i, c in enumerate(r.children):
+        if c is None:
+            continue
+        if remove_children:
+            remove_ring_and_points(c, mgr, True, False)
+        r.children[i] = None
+    if remove_from_parent:
+        old = mgr.children if r.parent is None else r.parent.children
+        remove_from_children(r, old)
+    pt = r.points
+    if pt is not None:
+        pt.prev.next = None
+        while pt is not None:
+            tmp = pt
+            pt = pt.next
+            tmp.next = None
+            tmp.prev = None
+            tmp.ring = None
+    r.points = None
+    r.reset_stats()
+
+
+def remove_ring(r, mgr, remove_children=True, remove_from_parent=True):
+    for i, c in enumerate(r.children):
+        if c is None:
+            continue
+        if remove_children:
+            remove_ring(c, mgr, True, False)
+        r.children[i] = None
+    if remove_from_parent:
+        old = mgr.children if r.parent is None else r.parent.children
+        remove_from_children(r, old)
+    r.points = None
+    r.reset_stats()
+
+
+def ring_depth(r) -> int:
+    d = 0
+    while r is not None and r.parent is not None:
+        d += 1
+        r = r.parent
+    return d
+
+
+def ring_is_hole(r) -> bool:
+    return bool(ring_depth(r) & 1)
+
+
+def reverse_ring(pp: Point):
+    if pp is None:
+        return
+    p1 = pp
+    while True:
+        p2 = p1.next
+        p1.next = p1.prev
+        p1.prev = p2
+        p1 = p2
+        if p1 is pp:
+            break
+
+
+def update_points_ring(ring):
+    op = ring.points
+    while True:
+        op.ring = ring
+        op = op.prev
+        if op is ring.points:
+            break
+
+
+# ---------------------------------------------------------------------------
+# build_edges.hpp
+
+
+def point_2_is_between_point_1_and_point_3(p1, p2, p3) -> bool:
+    if p1 == p3 or p1 == p2 or p3 == p2:
+        return False
+    if p1[0] != p3[0]:
+        return (p2[0] > p1[0]) == (p2[0] < p3[0])
+    return (p2[1] > p1[1]) == (p2[1] < p3[1])
+
+
+def build_edge_list(path):
+    """build_edges.hpp build_edge_list; returns edge list or None."""
+    n = len(path)
+    if n < 3:
+        return None
+    edges = []
+    r = n - 1           # itr_rev element index
+    i = 0               # itr element index
+    pt1 = path[r]
+    pt2 = path[i]
+    while pt1 == pt2:
+        r -= 1
+        if r < 0:
+            return None
+        pt1 = path[r]
+    i += 1
+    pt3 = path[i]
+    last = r + 1        # itr_last = itr_rev.base()
+    front_pt = None
+    back_pt = None
+    while True:
+        if pt3 == pt2:
+            if i == last:
+                break
+            i += 1
+            if i == last:
+                if not edges:
+                    break
+                pt3 = front_pt
+            else:
+                pt3 = path[i]
+            continue
+        if slopes_equal3(pt1, pt2, pt3):
+            pt2 = pt1
+            if edges:
+                edges.pop()
+            if edges:
+                e = edges[-1]
+                if back_pt == e.top:
+                    pt1 = e.bot
+                else:
+                    pt1 = e.top
+                back_pt = pt1
+            else:
+                while path[r] == pt2:
+                    r -= 1
+                    if i + 1 == r + 1:
+                        return None
+                pt1 = path[r]
+                last = r + 1
+            continue
+        if not edges:
+            front_pt = pt2
+        edges.append(Edge(pt2, pt3))
+        back_pt = pt2
+        if i == last:
+            break
+        pt1 = pt2
+        pt2 = pt3
+        i += 1
+        if i == last:
+            if not edges:
+                break
+            pt3 = front_pt
+        else:
+            pt3 = path[i]
+
+    modified = True
+    while modified:
+        modified = False
+        if len(edges) < 3:
+            return None
+        f = edges[0]
+        b = edges[-1]
+        if slopes_equal_edges(f, b):
+            if f.bot == b.top:
+                if f.top == b.bot:
+                    edges.pop()
+                    edges.pop(0)
+                else:
+                    f.bot = b.bot
+                    f._recompute_dx()
+                    edges.pop()
+                modified = True
+            elif f.top == b.bot:
+                f.top = b.top
+                f._recompute_dx()
+                edges.pop()
+                modified = True
+            elif f.top == b.top and f.bot == b.bot:
+                edges.pop()
+                edges.pop(0)
+                modified = True
+            elif f.top == b.top:
+                if point_2_is_between_point_1_and_point_3(f.top, f.bot, b.bot):
+                    b.top = f.bot
+                    b._recompute_dx()
+                    edges.pop(0)
+                else:
+                    f.top = b.bot
+                    f._recompute_dx()
+                    edges.pop()
+                modified = True
+            elif f.bot == b.bot:
+                if point_2_is_between_point_1_and_point_3(f.bot, f.top, b.top):
+                    b.bot = f.top
+                    b._recompute_dx()
+                    edges.pop(0)
+                else:
+                    f.bot = b.top
+                    f._recompute_dx()
+                    edges.pop()
+                modified = True
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# local_minimum_util.hpp
+
+
+def start_list_on_local_maximum(edges):
+    if len(edges) <= 2:
+        return edges
+    prev_edge = edges[-1]
+    prev_horz = is_horizontal(prev_edge)
+    i = 0
+    y_decreasing_before_last_horizontal = False
+    while i < len(edges):
+        e = edges[i]
+        horz = is_horizontal(e)
+        if (not prev_horz) and (not horz) and e.top == prev_edge.top:
+            break
+        if not horz and prev_horz:
+            if y_decreasing_before_last_horizontal and \
+               (e.top == prev_edge.bot or e.top == prev_edge.top):
+                break
+        elif (not y_decreasing_before_last_horizontal) and (not prev_horz) and horz \
+                and (prev_edge.top == e.top or prev_edge.top == e.bot):
+            y_decreasing_before_last_horizontal = True
+        prev_horz = horz
+        prev_edge = e
+        i += 1
+    return edges[i:] + edges[:i]
+
+
+def create_bound_towards_minimum(edges):
+    """Returns (bound, remaining_edges)."""
+    if len(edges) == 1:
+        if is_horizontal(edges[0]):
+            reverse_horizontal(edges[0])
+        bnd = Bound()
+        bnd.edges = edges
+        return bnd, []
+    i = 0
+    edge_is_horizontal = is_horizontal(edges[i])
+    if edge_is_horizontal:
+        reverse_horizontal(edges[i])
+    y_increasing_before_last_horizontal = False
+    j = 1
+    while j < len(edges):
+        next_is_horz = is_horizontal(edges[j])
+        if (not next_is_horz) and (not edge_is_horizontal) and edges[i].bot == edges[j].bot:
+            break
+        if not next_is_horz and edge_is_horizontal:
+            if y_increasing_before_last_horizontal and \
+               (edges[j].bot == edges[i].bot or edges[j].bot == edges[i].top):
+                break
+        elif (not y_increasing_before_last_horizontal) and (not edge_is_horizontal) \
+                and next_is_horz and (edges[i].bot == edges[j].top or edges[i].bot == edges[j].bot):
+            y_increasing_before_last_horizontal = True
+        edge_is_horizontal = next_is_horz
+        i = j
+        if edge_is_horizontal:
+            reverse_horizontal(edges[i])
+        j += 1
+    bnd = Bound()
+    if j == len(edges):
+        bnd.edges = edges
+        rest = []
+    else:
+        bnd.edges = edges[:j]
+        rest = edges[j:]
+    bnd.edges.reverse()
+    return bnd, rest
+
+
+def create_bound_towards_maximum(edges):
+    if len(edges) == 1:
+        bnd = Bound()
+        bnd.edges = edges
+        return bnd, []
+    i = 0
+    edge_is_horizontal = is_horizontal(edges[i])
+    y_decreasing_before_last_horizontal = False
+    j = 1
+    while j < len(edges):
+        next_is_horz = is_horizontal(edges[j])
+        if (not next_is_horz) and (not edge_is_horizontal) and edges[i].top == edges[j].top:
+            break
+        if not next_is_horz and edge_is_horizontal:
+            if y_decreasing_before_last_horizontal and \
+               (edges[j].top == edges[i].bot or edges[j].top == edges[i].top):
+                break
+        elif (not y_decreasing_before_last_horizontal) and (not edge_is_horizontal) \
+                and next_is_horz and (edges[i].top == edges[j].top or edges[i].top == edges[j].bot):
+            y_decreasing_before_last_horizontal = True
+        edge_is_horizontal = next_is_horz
+        i = j
+        j += 1
+    bnd = Bound()
+    if j == len(edges):
+        bnd.edges = edges
+        rest = []
+    else:
+        bnd.edges = edges[:j]
+        rest = edges[j:]
+    return bnd, rest
+
+
+def fix_horizontals(bnd: Bound):
+    edges = bnd.edges
+    if len(edges) < 2:
+        return
+    if is_horizontal(edges[0]) and edges[1].bot != edges[0].top:
+        reverse_horizontal(edges[0])
+    prev = edges[0]
+    for k in range(1, len(edges)):
+        if is_horizontal(edges[k]) and prev.top != edges[k].bot:
+            reverse_horizontal(edges[k])
+        prev = edges[k]
+
+
+def move_horizontals_on_left_to_right(left_bound: Bound, right_bound: Bound):
+    k = 0
+    while k < len(left_bound.edges):
+        if not is_horizontal(left_bound.edges[k]):
+            break
+        reverse_horizontal(left_bound.edges[k])
+        k += 1
+    if k == 0:
+        return
+    moved = left_bound.edges[:k]
+    moved.reverse()
+    left_bound.edges = left_bound.edges[k:]
+    # append then rotate so the moved block leads
+    right_bound.edges = moved + right_bound.edges
+
+
+def add_ring_to_local_minima_list(edges, minima_list, poly_type):
+    if not edges:
+        return
+    edges = start_list_on_local_maximum(edges)
+    first_minimum = None
+    last_maximum = None
+    while edges:
+        lm_minimum_has_horizontal = False
+        to_minimum, edges = create_bound_towards_minimum(edges)
+        if not edges:
+            raise RuntimeError("Edges is empty after only creating a single bound.")
+        to_maximum, edges = create_bound_towards_maximum(edges)
+        fix_horizontals(to_minimum)
+        fix_horizontals(to_maximum)
+        max_non_horz = 0
+        while max_non_horz < len(to_maximum.edges) and is_horizontal(to_maximum.edges[max_non_horz]):
+            lm_minimum_has_horizontal = True
+            max_non_horz += 1
+        min_non_horz = 0
+        while min_non_horz < len(to_minimum.edges) and is_horizontal(to_minimum.edges[min_non_horz]):
+            lm_minimum_has_horizontal = True
+            min_non_horz += 1
+        if max_non_horz == len(to_maximum.edges) or min_non_horz == len(to_minimum.edges):
+            raise RuntimeError("should not have a horizontal only bound for a ring")
+        if lm_minimum_has_horizontal:
+            if to_maximum.edges[max_non_horz].bot[0] > to_minimum.edges[min_non_horz].bot[0]:
+                minimum_is_left = True
+                move_horizontals_on_left_to_right(to_minimum, to_maximum)
+            else:
+                minimum_is_left = False
+                move_horizontals_on_left_to_right(to_maximum, to_minimum)
+        else:
+            if to_maximum.edges[max_non_horz].dx > to_minimum.edges[min_non_horz].dx:
+                minimum_is_left = False
+            else:
+                minimum_is_left = True
+        min_front = to_minimum.edges[0]
+        if last_maximum is not None:
+            to_minimum.maximum_bound = last_maximum
+        to_minimum.poly_type = poly_type
+        to_maximum.poly_type = poly_type
+        if not minimum_is_left:
+            to_minimum.side = EDGE_RIGHT
+            to_maximum.side = EDGE_LEFT
+            to_minimum.wd = -1
+            to_maximum.wd = 1
+            lm = LocalMinimum(to_maximum, to_minimum, min_front.bot[1],
+                              lm_minimum_has_horizontal)
+            minima_list.append(lm)
+            if last_maximum is None:
+                first_minimum = lm.right_bound
+            else:
+                last_maximum.maximum_bound = lm.right_bound
+            last_maximum = lm.left_bound
+        else:
+            to_minimum.side = EDGE_LEFT
+            to_maximum.side = EDGE_RIGHT
+            to_minimum.wd = -1
+            to_maximum.wd = 1
+            lm = LocalMinimum(to_minimum, to_maximum, min_front.bot[1],
+                              lm_minimum_has_horizontal)
+            minima_list.append(lm)
+            if last_maximum is None:
+                first_minimum = lm.left_bound
+            else:
+                last_maximum.maximum_bound = lm.left_bound
+            last_maximum = lm.right_bound
+    last_maximum.maximum_bound = first_minimum
+    first_minimum.maximum_bound = last_maximum
+
+
+def initialize_lm(lm: LocalMinimum):
+    for bnd, side in ((lm.left_bound, EDGE_LEFT), (lm.right_bound, EDGE_RIGHT)):
+        if bnd.edges:
+            bnd.ce = 0
+            bnd.current_x = float(bnd.edges[0].bot[0])
+            bnd.wc = 0
+            bnd.wc2 = 0
+            bnd.side = side
+            bnd.ring = None
+
+
+def add_linear_ring(path, minima_list, poly_type):
+    edges = build_edge_list(path)
+    if not edges:
+        return False
+    add_ring_to_local_minima_list(edges, minima_list, poly_type)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# scanbeam.hpp (sorted ascending vector; pop back = max)
+
+
+def insert_sorted_scanbeam(scanbeam, t):
+    i = bisect_left(scanbeam, t)
+    if i == len(scanbeam) or t < scanbeam[i]:
+        scanbeam.insert(i, t)
+
+
+def pop_from_scanbeam(scanbeam):
+    if not scanbeam:
+        return None
+    return scanbeam.pop()
+
+
+def setup_scanbeam(minima_list, scanbeam):
+    for lm in minima_list:
+        scanbeam.append(lm.y)
+    scanbeam.sort()
+
+
+def sort_minima(minima_list):
+    """local_minimum_sorter (stable): y DESC; ties put the minimum with
+    a horizontal first."""
+    import functools
+
+    def comp(a, b):
+        if a.y == b.y:
+            before = b.minimum_has_horizontal != a.minimum_has_horizontal \
+                and a.minimum_has_horizontal
+            after = a.minimum_has_horizontal != b.minimum_has_horizontal \
+                and b.minimum_has_horizontal
+            return -1 if before else (1 if after else 0)
+        return -1 if b.y < a.y else 1
+
+    return sorted(minima_list, key=functools.cmp_to_key(comp))
+
+
+# ---------------------------------------------------------------------------
+# intersect_util.hpp helpers shared by snap rounding and vatti
+
+
+def round_towards_min(val: float) -> int:
+    half = math.floor(val) + 0.5
+    if values_are_equal(val, half):
+        return int(math.floor(val))
+    return llround(val)
+
+
+def round_towards_max(val: float) -> int:
+    half = math.floor(val) + 0.5
+    if values_are_equal(val, half):
+        return int(math.ceil(val))
+    return llround(val)
+
+
+def round_point(pt):
+    return (round_towards_max(pt[0]), round_towards_max(pt[1]))
+
+
+def get_edge_intersection(e1: Edge, e2: Edge):
+    """intersect_util.hpp get_edge_intersection — exact double ops."""
+    p0_x = float(e1.bot[0]); p0_y = float(e1.bot[1])
+    p1_x = float(e1.top[0]); p1_y = float(e1.top[1])
+    p2_x = float(e2.bot[0]); p2_y = float(e2.bot[1])
+    p3_x = float(e2.top[0]); p3_y = float(e2.top[1])
+    s1_x = p1_x - p0_x
+    s1_y = p1_y - p0_y
+    s2_x = p3_x - p2_x
+    s2_y = p3_y - p2_y
+    denom = (-s2_x * s1_y + s1_x * s2_y)
+    try:
+        s = (-s1_y * (p0_x - p2_x) + s1_x * (p0_y - p2_y)) / denom
+        t = (s2_x * (p0_y - p2_y) - s2_y * (p0_x - p2_x)) / denom
+    except ZeroDivisionError:
+        return None
+    if 0.0 <= s <= 1.0 and 0.0 <= t <= 1.0:
+        return (p0_x + (t * s1_x), p0_y + (t * s1_y))
+    return None
+
+
+def intersection_compare(b1: Bound, b2: Bound) -> bool:
+    return not (b1.current_x > b2.current_x
+                and not slopes_equal_edges(b1.current_edge, b2.current_edge))
+
+
+def bubble_sort(lst, comp, on_swap):
+    """bubble_sort.hpp — in-place with swap callback."""
+    n = len(lst)
+    if n == 0:
+        return
+    modified = True
+    while modified:
+        modified = False
+        for i in range(n - 1):
+            if not comp(lst[i], lst[i + 1]):
+                on_swap(lst[i], lst[i + 1])
+                lst[i], lst[i + 1] = lst[i + 1], lst[i]
+                modified = True
+
+
+def update_current_x(active_bounds, top_y):
+    for pos, bnd in enumerate(active_bounds):
+        bnd.pos = pos
+        bnd.current_x = get_current_x(bnd.current_edge, top_y)
+
+
+# ---------------------------------------------------------------------------
+# active_bound_list.hpp
+
+
+def bound_insert_location(bound2: Bound, b: Bound) -> bool:
+    bound1 = b
+    if values_are_equal(bound2.current_x, bound1.current_x):
+        if bound2.current_edge.top[1] > bound1.current_edge.top[1]:
+            return less_than(float(bound2.current_edge.top[0]),
+                             get_current_x(bound1.current_edge, bound2.current_edge.top[1]))
+        return greater_than(float(bound1.current_edge.top[0]),
+                            get_current_x(bound2.current_edge, bound1.current_edge.top[1]))
+    return bound2.current_x < bound1.current_x
+
+
+def insert_bound_into_ABL(left: Bound, right: Bound, active_bounds) -> int:
+    idx = len(active_bounds)
+    for i, b in enumerate(active_bounds):
+        if b is not None and bound_insert_location(left, b):
+            idx = i
+            break
+    active_bounds[idx:idx] = [left, right]
+    return idx
+
+
+def is_maxima_b(bnd: Bound, y) -> bool:
+    return bnd.next_is_end() and bnd.current_edge.top[1] == y
+
+
+def is_intermediate_b(bnd: Bound, y) -> bool:
+    return (not bnd.next_is_end()) and bnd.current_edge.top[1] == y
+
+
+def next_edge_in_bound(bnd: Bound, scanbeam):
+    bnd.ce += 1
+    if bnd.ce < len(bnd.edges):
+        bnd.current_x = float(bnd.current_edge.bot[0])
+        if not is_horizontal(bnd.current_edge):
+            insert_sorted_scanbeam(scanbeam, bnd.current_edge.top[1])
+
+
+def get_maxima_pair(bnd: Bound, active_bounds) -> int:
+    target = bnd.maximum_bound
+    for i, b in enumerate(active_bounds):
+        if b is target:
+            return i
+    return len(active_bounds)  # "end"
+
+
+def is_even_odd_fill_type(bnd, subject_fill_type, clip_fill_type) -> bool:
+    if bnd.poly_type == PT_SUBJECT:
+        return subject_fill_type == FT_EVEN_ODD
+    return clip_fill_type == FT_EVEN_ODD
+
+
+def is_even_odd_alt_fill_type(bnd, subject_fill_type, clip_fill_type) -> bool:
+    if bnd.poly_type == PT_SUBJECT:
+        return clip_fill_type == FT_EVEN_ODD
+    return subject_fill_type == FT_EVEN_ODD
+
+
+def set_winding_count(idx: int, active_bounds, subject_fill_type, clip_fill_type):
+    bnd = active_bounds[idx]
+    # reverse scan from the element before idx
+    r = idx - 1
+    if r < 0:
+        bnd.wc = bnd.wd
+        bnd.wc2 = 0
+        return
+    while r >= 0 and active_bounds[r].poly_type != bnd.poly_type:
+        r -= 1
+    if r < 0:
+        bnd.wc = bnd.wd
+        bnd.wc2 = 0
+    elif is_even_odd_fill_type(bnd, subject_fill_type, clip_fill_type):
+        bnd.wc = bnd.wd
+        bnd.wc2 = active_bounds[r].wc2
+    else:
+        prev = active_bounds[r]
+        if prev.wc * prev.wd < 0:
+            if abs(prev.wc) > 1:
+                if prev.wd * bnd.wd < 0:
+                    bnd.wc = prev.wc
+                else:
+                    bnd.wc = prev.wc + bnd.wd
+            else:
+                bnd.wc = bnd.wd
+        else:
+            if prev.wd * bnd.wd < 0:
+                bnd.wc = prev.wc
+            else:
+                bnd.wc = prev.wc + bnd.wd
+        bnd.wc2 = prev.wc2
+    # update wc2 walking forward from r+1 to idx
+    fwd = r + 1
+    if is_even_odd_alt_fill_type(bnd, subject_fill_type, clip_fill_type):
+        while fwd != idx:
+            bnd.wc2 = 1 if bnd.wc2 == 0 else 0
+            fwd += 1
+    else:
+        while fwd != idx:
+            bnd.wc2 += active_bounds[fwd].wd
+            fwd += 1
+
+
+def is_contributing(bnd: Bound, cliptype, subject_fill_type, clip_fill_type) -> bool:
+    pft = subject_fill_type
+    pft2 = clip_fill_type
+    if bnd.poly_type != PT_SUBJECT:
+        pft = clip_fill_type
+        pft2 = subject_fill_type
+
+    if pft == FT_NON_ZERO:
+        if abs(bnd.wc) != 1:
+            return False
+    elif pft == FT_POSITIVE:
+        if bnd.wc != 1:
+            return False
+    elif pft == FT_NEGATIVE:
+        if bnd.wc != -1:
+            return False
+
+    if cliptype == CLIP_INTERSECTION:
+        if pft2 in (FT_EVEN_ODD, FT_NON_ZERO):
+            return bnd.wc2 != 0
+        if pft2 == FT_POSITIVE:
+            return bnd.wc2 > 0
+        return bnd.wc2 < 0
+    if cliptype == CLIP_UNION:
+        if pft2 in (FT_EVEN_ODD, FT_NON_ZERO):
+            return bnd.wc2 == 0
+        if pft2 == FT_POSITIVE:
+            return bnd.wc2 <= 0
+        return bnd.wc2 >= 0
+    if cliptype == CLIP_DIFFERENCE:
+        if bnd.poly_type == PT_SUBJECT:
+            if pft2 in (FT_EVEN_ODD, FT_NON_ZERO):
+                return bnd.wc2 == 0
+            if pft2 == FT_POSITIVE:
+                return bnd.wc2 <= 0
+            return bnd.wc2 >= 0
+        if pft2 in (FT_EVEN_ODD, FT_NON_ZERO):
+            return bnd.wc2 != 0
+        if pft2 == FT_POSITIVE:
+            return bnd.wc2 > 0
+        return bnd.wc2 < 0
+    return True  # x_or
+
+
+# ---------------------------------------------------------------------------
+# ring_util.hpp
+
+
+def set_hole_state(bnd: Bound, active_bounds, mgr: RingManager):
+    # reverse scan left of bnd
+    i = len(active_bounds) - 1
+    while i >= 0 and active_bounds[i] is not bnd:
+        i -= 1
+    i -= 1
+    bndTmp = None
+    while i >= 0:
+        b = active_bounds[i]
+        if b is None:
+            i -= 1
+            continue
+        if b.ring is not None:
+            if bndTmp is None:
+                bndTmp = b
+            elif bndTmp.ring is b.ring:
+                bndTmp = None
+        i -= 1
+    if bndTmp is None:
+        bnd.ring.parent = None
+        mgr.children.append(bnd.ring)
+    else:
+        bnd.ring.parent = bndTmp.ring
+        bndTmp.ring.children.append(bnd.ring)
+
+
+def update_current_hp_itr(scanline_y, mgr: RingManager):
+    while mgr.hot_pixels[mgr.current_hp][1] > scanline_y:
+        mgr.current_hp += 1
+
+
+def get_edge_min_x(e: Edge, current_y) -> int:
+    if is_horizontal(e):
+        return e.bot[0] if e.bot[0] < e.top[0] else e.top[0]
+    if e.dx > 0.0:
+        if current_y == e.top[1]:
+            return e.top[0]
+        lower_range_y = float(current_y - e.bot[1]) - 0.5
+        return round_towards_min(float(e.bot[0]) + e.dx * lower_range_y)
+    if current_y == e.bot[1]:
+        return e.bot[0]
+    return round_towards_min(
+        float(e.bot[0]) + e.dx * (float(current_y - e.bot[1]) + 0.5))
+
+
+def get_edge_max_x(e: Edge, current_y) -> int:
+    if is_horizontal(e):
+        return e.bot[0] if e.bot[0] > e.top[0] else e.top[0]
+    if e.dx < 0.0:
+        if current_y == e.top[1]:
+            return e.top[0]
+        lower_range_y = float(current_y - e.bot[1]) - 0.5
+        return round_towards_max(float(e.bot[0]) + e.dx * lower_range_y)
+    if current_y == e.bot[1]:
+        return e.bot[0]
+    return round_towards_max(
+        float(e.bot[0]) + e.dx * (float(current_y - e.bot[1]) + 0.5))
+
+
+def _hp_insert_point(bnd: Bound, hp, mgr: RingManager):
+    op = bnd.ring.points
+    to_front = bnd.side == EDGE_LEFT
+    if to_front and hp[0] == op.x and hp[1] == op.y:
+        return
+    if (not to_front) and hp[0] == op.prev.x and hp[1] == op.prev.y:
+        return
+    new_point = create_new_point(bnd.ring, hp, mgr, before=op)
+    if to_front:
+        bnd.ring.points = new_point
+
+
+def hot_pixel_set_left_to_right(y, start_x, end_x, bnd, mgr, idx, end_idx, add_end_point):
+    x_min = get_edge_min_x(bnd.current_edge, y)
+    x_min = max(x_min, start_x)
+    x_max = get_edge_max_x(bnd.current_edge, y)
+    x_max = min(x_max, end_x)
+    hps = mgr.hot_pixels
+    while idx < end_idx:
+        hp = hps[idx]
+        if hp[0] < x_min:
+            idx += 1
+            continue
+        if hp[0] > x_max:
+            break
+        if (not add_end_point) and hp[0] == end_x:
+            idx += 1
+            continue
+        _hp_insert_point(bnd, hp, mgr)
+        idx += 1
+
+
+def hot_pixel_set_right_to_left(y, start_x, end_x, bnd, mgr, ridx, rend_idx, add_end_point):
+    """ridx walks DOWN (reverse iteration): ridx > rend_idx >= -1."""
+    x_min = get_edge_min_x(bnd.current_edge, y)
+    x_min = max(x_min, end_x)
+    x_max = get_edge_max_x(bnd.current_edge, y)
+    x_max = min(x_max, start_x)
+    hps = mgr.hot_pixels
+    while ridx > rend_idx:
+        hp = hps[ridx]
+        if hp[0] > x_max:
+            ridx -= 1
+            continue
+        if hp[0] < x_min:
+            break
+        if (not add_end_point) and hp[0] == end_x:
+            ridx -= 1
+            continue
+        _hp_insert_point(bnd, hp, mgr)
+        ridx -= 1
+
+
+def sort_hot_pixels(mgr: RingManager):
+    """hot_pixel_sorter: y DESC, then x ASC; unique."""
+    mgr.hot_pixels.sort(key=lambda p: (-p[1], p[0]))
+    out = []
+    for p in mgr.hot_pixels:
+        if not out or out[-1] != p:
+            out.append(p)
+    mgr.hot_pixels = out
+
+
+def insert_hot_pixels_in_path(bnd: Bound, end_pt, mgr: RingManager, add_end_point):
+    if end_pt == bnd.last_point:
+        return
+    start_x, start_y = bnd.last_point
+    end_x, end_y = end_pt
+    hps = mgr.hot_pixels
+    n = len(hps)
+    itr = mgr.current_hp
+    if itr >= n:
+        itr = n - 1
+    while itr > 0 and hps[itr][1] <= start_y:
+        itr -= 1
+    if start_x > end_x:
+        while itr < n:
+            if hps[itr][1] > start_y:
+                itr += 1
+                continue
+            if hps[itr][1] < end_y:
+                break
+            y = hps[itr][1]
+            row_start = itr
+            while itr < n and hps[itr][1] == y:
+                itr += 1
+            # reverse range: first_itr = rev(itr) -> element itr-1 down to
+            # last_itr = rev(row_start) -> element row_start-1 (exclusive)
+            add_ep = (y != end_pt[1]) or add_end_point
+            hot_pixel_set_right_to_left(y, start_x, end_x, bnd, mgr,
+                                        itr - 1, row_start - 1, add_ep)
+    else:
+        while itr < n:
+            if hps[itr][1] > start_y:
+                itr += 1
+                continue
+            if hps[itr][1] < end_y:
+                break
+            y = hps[itr][1]
+            row_start = itr
+            while itr < n and hps[itr][1] == y:
+                itr += 1
+            add_ep = (y != end_pt[1]) or add_end_point
+            hot_pixel_set_left_to_right(y, start_x, end_x, bnd, mgr,
+                                        row_start, itr, add_ep)
+    bnd.last_point = end_pt
+
+
+def add_to_hot_pixels(pt, mgr: RingManager):
+    mgr.hot_pixels.append(pt)
+
+
+def add_first_point(bnd: Bound, active_bounds, pt, mgr: RingManager):
+    r = create_new_ring(mgr)
+    bnd.ring = r
+    r.points = create_new_point(r, pt, mgr)
+    set_hole_state(bnd, active_bounds, mgr)
+    bnd.last_point = pt
+
+
+def add_point_to_ring(bnd: Bound, pt, mgr: RingManager):
+    assert bnd.ring is not None
+    insert_hot_pixels_in_path(bnd, pt, mgr, False)
+    op = bnd.ring.points
+    to_front = bnd.side == EDGE_LEFT
+    if to_front and pt[0] == op.x and pt[1] == op.y:
+        return
+    if (not to_front) and pt[0] == op.prev.x and pt[1] == op.prev.y:
+        return
+    new_point = create_new_point(bnd.ring, pt, mgr, before=bnd.ring.points)
+    if to_front:
+        bnd.ring.points = new_point
+
+
+def add_point(bnd: Bound, active_bounds, pt, mgr: RingManager):
+    if bnd.ring is None:
+        add_first_point(bnd, active_bounds, pt, mgr)
+    else:
+        add_point_to_ring(bnd, pt, mgr)
+
+
+def add_local_minimum_point(b1: Bound, b2: Bound, active_bounds, pt, mgr):
+    if is_horizontal(b2.current_edge) or (b1.current_edge.dx > b2.current_edge.dx):
+        add_point(b1, active_bounds, pt, mgr)
+        b2.last_point = pt
+        b2.ring = b1.ring
+        b1.side = EDGE_LEFT
+        b2.side = EDGE_RIGHT
+    else:
+        add_point(b2, active_bounds, pt, mgr)
+        b1.last_point = pt
+        b1.ring = b2.ring
+        b1.side = EDGE_RIGHT
+        b2.side = EDGE_LEFT
+
+
+def get_dx(pt1, pt2) -> float:
+    if pt1.y == pt2.y:
+        return math.inf
+    return float(pt2.x - pt1.x) / float(pt2.y - pt1.y)
+
+
+def first_is_bottom_point(btmPt1: Point, btmPt2: Point) -> bool:
+    p = btmPt1.prev
+    while pt_eq(p, btmPt1) and (p is not btmPt1):
+        p = p.prev
+    dx1p = abs(get_dx(btmPt1, p))
+    p = btmPt1.next
+    while pt_eq(p, btmPt1) and (p is not btmPt1):
+        p = p.next
+    dx1n = abs(get_dx(btmPt1, p))
+
+    p = btmPt2.prev
+    while pt_eq(p, btmPt2) and (p is not btmPt2):
+        p = p.prev
+    dx2p = abs(get_dx(btmPt2, p))
+    p = btmPt2.next
+    while pt_eq(p, btmPt2) and (p is not btmPt2):
+        p = p.next
+    dx2n = abs(get_dx(btmPt2, p))
+
+    if values_are_equal(max(dx1p, dx1n), max(dx2p, dx2n)) and \
+       values_are_equal(min(dx1p, dx1n), min(dx2p, dx2n)):
+        a, _s, _b = area_from_point(btmPt1)
+        return a > 0.0
+    return (greater_than_or_equal(dx1p, dx2p) and greater_than_or_equal(dx1p, dx2n)) or \
+           (greater_than_or_equal(dx1n, dx2p) and greater_than_or_equal(dx1n, dx2n))
+
+
+def get_bottom_point(pp: Point) -> Point:
+    dups = None
+    p = pp.next
+    while p is not pp:
+        if p.y > pp.y:
+            pp = p
+            dups = None
+        elif p.y == pp.y and p.x <= pp.x:
+            if p.x < pp.x:
+                dups = None
+                pp = p
+            else:
+                if p.next is not pp and p.prev is not pp:
+                    dups = p
+        p = p.next
+    if dups is not None:
+        while dups is not p:
+            if not first_is_bottom_point(p, dups):
+                pp = dups
+            dups = dups.next
+            while not pt_eq(dups, pp):
+                dups = dups.next
+    return pp
+
+
+def get_lower_most_ring(ring1: Ring, ring2: Ring) -> Ring:
+    if ring1.bottom_point is None:
+        ring1.bottom_point = get_bottom_point(ring1.points)
+    if ring2.bottom_point is None:
+        ring2.bottom_point = get_bottom_point(ring2.points)
+    pt1 = ring1.bottom_point
+    pt2 = ring2.bottom_point
+    if pt1.y > pt2.y:
+        return ring1
+    if pt1.y < pt2.y:
+        return ring2
+    if pt1.x < pt2.x:
+        return ring1
+    if pt1.x > pt2.x:
+        return ring2
+    if pt1.next is pt1:
+        return ring2
+    if pt2.next is pt2:
+        return ring1
+    if first_is_bottom_point(pt1, pt2):
+        return ring1
+    return ring2
+
+
+def ring1_child_below_ring2(ring1: Ring, ring2: Ring) -> bool:
+    while True:
+        ring1 = ring1.parent
+        if ring1 is ring2:
+            return True
+        if ring1 is None:
+            return False
+
+
+def append_ring(b1: Bound, b2: Bound, active_bounds, mgr: RingManager):
+    outRec1 = b1.ring
+    outRec2 = b2.ring
+    if ring1_child_below_ring2(outRec1, outRec2):
+        keep_ring, keep_bound = outRec2, b2
+        remove_ring_, remove_bound = outRec1, b1
+    elif ring1_child_below_ring2(outRec2, outRec1):
+        keep_ring, keep_bound = outRec1, b1
+        remove_ring_, remove_bound = outRec2, b2
+    elif outRec1 is get_lower_most_ring(outRec1, outRec2):
+        keep_ring, keep_bound = outRec1, b1
+        remove_ring_, remove_bound = outRec2, b2
+    else:
+        keep_ring, keep_bound = outRec2, b2
+        remove_ring_, remove_bound = outRec1, b1
+
+    p1_lft = keep_ring.points
+    p1_rt = p1_lft.prev
+    p2_lft = remove_ring_.points
+    p2_rt = p2_lft.prev
+
+    if keep_bound.side == EDGE_LEFT:
+        if remove_bound.side == EDGE_LEFT:
+            reverse_ring(p2_lft)
+            p2_lft.next = p1_lft
+            p1_lft.prev = p2_lft
+            p1_rt.next = p2_rt
+            p2_rt.prev = p1_rt
+            keep_ring.points = p2_rt
+        else:
+            p2_rt.next = p1_lft
+            p1_lft.prev = p2_rt
+            p2_lft.prev = p1_rt
+            p1_rt.next = p2_lft
+            keep_ring.points = p2_lft
+    else:
+        if remove_bound.side == EDGE_RIGHT:
+            reverse_ring(p2_lft)
+            p1_rt.next = p2_rt
+            p2_rt.prev = p1_rt
+            p2_lft.next = p1_lft
+            p1_lft.prev = p2_lft
+        else:
+            p1_rt.next = p2_lft
+            p2_lft.prev = p1_rt
+            p1_lft.prev = p2_rt
+            p2_rt.next = p1_lft
+
+    keep_ring.bottom_point = None
+    keep_is_hole = ring_is_hole(keep_ring)
+    remove_is_hole = ring_is_hole(remove_ring_)
+
+    remove_ring_.points = None
+    remove_ring_.bottom_point = None
+    if keep_is_hole != remove_is_hole:
+        ring1_replaces_ring2(keep_ring.parent, remove_ring_, mgr)
+    else:
+        ring1_replaces_ring2(keep_ring, remove_ring_, mgr)
+
+    update_points_ring(keep_ring)
+
+    keep_bound.ring = None
+    remove_bound.ring = None
+
+    for b in active_bounds:
+        if b is None:
+            continue
+        if b.ring is remove_ring_:
+            b.ring = keep_ring
+            b.side = keep_bound.side
+            break
+
+
+def add_local_maximum_point(b1: Bound, b2: Bound, pt, mgr, active_bounds):
+    insert_hot_pixels_in_path(b2, pt, mgr, False)
+    add_point(b1, active_bounds, pt, mgr)
+    if b1.ring is b2.ring:
+        b1.ring = None
+        b2.ring = None
+    elif b1.ring.ring_index < b2.ring.ring_index:
+        append_ring(b1, b2, active_bounds, mgr)
+    else:
+        append_ring(b2, b1, active_bounds, mgr)
+
+
+# ---------------------------------------------------------------------------
+# snap_rounding.hpp
+
+
+def process_hot_pixel_intersections(top_y, active_bounds, mgr):
+    if not active_bounds:
+        return
+    update_current_x(active_bounds, top_y)
+
+    def on_swap(b1, b2):
+        pt = get_edge_intersection(b1.current_edge, b2.current_edge)
+        if pt is None:
+            raise RuntimeError("Trying to find intersection of lines that do not intersect")
+        add_to_hot_pixels(round_point(pt), mgr)
+
+    bubble_sort(active_bounds, intersection_compare, on_swap)
+
+
+def horizontals_at_top_scanbeam(top_y, bnd_curr_idx, active_bounds, mgr):
+    """Returns (shifted, new_bnd_curr_idx)."""
+    shifted = False
+    b = active_bounds[bnd_curr_idx]
+    ce = b.current_edge
+    b.current_x = float(ce.top[0])
+    if ce.bot[0] < ce.top[0]:
+        # left to right
+        nxt = bnd_curr_idx + 1
+        while nxt < len(active_bounds) and (
+                active_bounds[nxt] is None
+                or active_bounds[nxt].current_x < active_bounds[bnd_curr_idx].current_x):
+            bn = active_bounds[nxt]
+            if bn is not None and bn.current_edge.top[1] != top_y and bn.current_edge.bot[1] != top_y:
+                add_to_hot_pixels((llround(bn.current_x), top_y), mgr)
+            active_bounds[bnd_curr_idx], active_bounds[nxt] = \
+                active_bounds[nxt], active_bounds[bnd_curr_idx]
+            bnd_curr_idx += 1
+            nxt += 1
+            shifted = True
+    else:
+        # right to left
+        if bnd_curr_idx > 0:
+            prv = bnd_curr_idx - 1
+            while bnd_curr_idx > 0 and (
+                    active_bounds[prv] is None
+                    or active_bounds[prv].current_x > active_bounds[bnd_curr_idx].current_x):
+                bp = active_bounds[prv]
+                if bp is not None and bp.current_edge.top[1] != top_y and bp.current_edge.bot[1] != top_y:
+                    add_to_hot_pixels((llround(bp.current_x), top_y), mgr)
+                active_bounds[bnd_curr_idx], active_bounds[prv] = \
+                    active_bounds[prv], active_bounds[bnd_curr_idx]
+                bnd_curr_idx -= 1
+                if bnd_curr_idx > 0:
+                    prv -= 1
+    return shifted, bnd_curr_idx
+
+
+def process_hot_pixel_edges_at_top_of_scanbeam(top_y, scanbeam, active_bounds, mgr):
+    i = 0
+    while i < len(active_bounds):
+        if active_bounds[i] is None:
+            i += 1
+            continue
+        bnd_curr = i
+        shifted = False
+        current_bound = active_bounds[i]
+        while current_bound.ce < len(current_bound.edges) and \
+                current_bound.current_edge.top[1] == top_y:
+            add_to_hot_pixels(current_bound.current_edge.top, mgr)
+            if is_horizontal(current_bound.current_edge):
+                sh, bnd_curr = horizontals_at_top_scanbeam(top_y, bnd_curr, active_bounds, mgr)
+                if sh:
+                    shifted = True
+            next_edge_in_bound(current_bound, scanbeam)
+        if current_bound.ce >= len(current_bound.edges):
+            active_bounds[bnd_curr] = None
+        if not shifted:
+            i += 1
+    active_bounds[:] = [b for b in active_bounds if b is not None]
+
+
+def insert_local_minima_into_ABL_hot_pixel(top_y, minima_sorted, lm_idx,
+                                           active_bounds, mgr, scanbeam):
+    while lm_idx < len(minima_sorted) and minima_sorted[lm_idx].y == top_y:
+        lm = minima_sorted[lm_idx]
+        add_to_hot_pixels(lm.left_bound.edges[0].bot, mgr)
+        left_bound = lm.left_bound
+        right_bound = lm.right_bound
+        left_bound.ce = 0
+        left_bound.current_x = float(left_bound.current_edge.bot[0])
+        right_bound.ce = 0
+        right_bound.current_x = float(right_bound.current_edge.bot[0])
+        lb = insert_bound_into_ABL(left_bound, right_bound, active_bounds)
+        if not is_horizontal(active_bounds[lb].current_edge):
+            insert_sorted_scanbeam(scanbeam, active_bounds[lb].current_edge.top[1])
+        rb = lb + 1
+        if not is_horizontal(active_bounds[rb].current_edge):
+            insert_sorted_scanbeam(scanbeam, active_bounds[rb].current_edge.top[1])
+        lm_idx += 1
+    return lm_idx
+
+
+def build_hot_pixels(minima_list, mgr):
+    active_bounds = []
+    scanbeam = []
+    minima_sorted = sort_minima(minima_list)
+    lm_idx = 0
+    setup_scanbeam(minima_list, scanbeam)
+    while True:
+        y = pop_from_scanbeam(scanbeam)
+        if y is None:
+            # every local minimum seeds the scanbeam, so an empty beam
+            # means all minima were consumed too
+            break
+        scanline_y = y
+        process_hot_pixel_intersections(scanline_y, active_bounds, mgr)
+        lm_idx = insert_local_minima_into_ABL_hot_pixel(
+            scanline_y, minima_sorted, lm_idx, active_bounds, mgr, scanbeam)
+        process_hot_pixel_edges_at_top_of_scanbeam(scanline_y, scanbeam, active_bounds, mgr)
+    sort_hot_pixels(mgr)
+
+
+# ---------------------------------------------------------------------------
+# intersect_util.hpp (vatti intersections)
+
+
+class IntersectNode:
+    __slots__ = ("bound1", "bound2", "pt")
+
+    def __init__(self, b1, b2, pt):
+        self.bound1 = b1
+        self.bound2 = b2
+        self.pt = pt
+
+
+def build_intersect_list(active_bounds, intersects):
+    def on_swap(b1, b2):
+        pt = get_edge_intersection(b1.current_edge, b2.current_edge)
+        if pt is None:
+            raise RuntimeError("Trying to find intersection of lines that do not intersect")
+        intersects.append(IntersectNode(b1, b2, pt))
+
+    bubble_sort(active_bounds, intersection_compare, on_swap)
+
+
+def swap_rings(b1: Bound, b2: Bound):
+    b1.ring, b2.ring = b2.ring, b1.ring
+
+
+def swap_sides(b1: Bound, b2: Bound):
+    b1.side, b2.side = b2.side, b1.side
+
+
+def intersect_bounds(b1: Bound, b2: Bound, pt, cliptype, subject_fill_type,
+                     clip_fill_type, mgr, active_bounds):
+    b1Contributing = b1.ring is not None
+    b2Contributing = b2.ring is not None
+
+    if b1.poly_type == b2.poly_type:
+        if is_even_odd_fill_type(b1, subject_fill_type, clip_fill_type):
+            b1.wc, b2.wc = b2.wc, b1.wc
+        else:
+            if b1.wc + b2.wd == 0:
+                b1.wc = -b1.wc
+            else:
+                b1.wc += b2.wd
+            if b2.wc - b1.wd == 0:
+                b2.wc = -b2.wc
+            else:
+                b2.wc -= b1.wd
+    else:
+        if not is_even_odd_fill_type(b2, subject_fill_type, clip_fill_type):
+            b1.wc2 += b2.wd
+        else:
+            b1.wc2 = 1 if b1.wc2 == 0 else 0
+        if not is_even_odd_fill_type(b1, subject_fill_type, clip_fill_type):
+            b2.wc2 -= b1.wd
+        else:
+            b2.wc2 = 1 if b2.wc2 == 0 else 0
+
+    if b1.poly_type == PT_SUBJECT:
+        b1FillType, b1FillType2 = subject_fill_type, clip_fill_type
+    else:
+        b1FillType, b1FillType2 = clip_fill_type, subject_fill_type
+    if b2.poly_type == PT_SUBJECT:
+        b2FillType, b2FillType2 = subject_fill_type, clip_fill_type
+    else:
+        b2FillType, b2FillType2 = clip_fill_type, subject_fill_type
+
+    if b1FillType == FT_POSITIVE:
+        b1Wc = b1.wc
+    elif b1FillType == FT_NEGATIVE:
+        b1Wc = -b1.wc
+    else:
+        b1Wc = abs(b1.wc)
+    if b2FillType == FT_POSITIVE:
+        b2Wc = b2.wc
+    elif b2FillType == FT_NEGATIVE:
+        b2Wc = -b2.wc
+    else:
+        b2Wc = abs(b2.wc)
+
+    if b1Contributing and b2Contributing:
+        if (b1Wc != 0 and b1Wc != 1) or (b2Wc != 0 and b2Wc != 1) or \
+           (b1.poly_type != b2.poly_type and cliptype != CLIP_XOR):
+            add_local_maximum_point(b1, b2, pt, mgr, active_bounds)
+        else:
+            add_point(b1, active_bounds, pt, mgr)
+            add_point(b2, active_bounds, pt, mgr)
+            swap_sides(b1, b2)
+            swap_rings(b1, b2)
+    elif b1Contributing:
+        if b2Wc == 0 or b2Wc == 1:
+            add_point(b1, active_bounds, pt, mgr)
+            b2.last_point = pt
+            swap_sides(b1, b2)
+            swap_rings(b1, b2)
+    elif b2Contributing:
+        if b1Wc == 0 or b1Wc == 1:
+            b1.last_point = pt
+            add_point(b2, active_bounds, pt, mgr)
+            swap_sides(b1, b2)
+            swap_rings(b1, b2)
+    elif (b1Wc == 0 or b1Wc == 1) and (b2Wc == 0 or b2Wc == 1):
+        if b1FillType2 == FT_POSITIVE:
+            b1Wc2 = b1.wc2
+        elif b1FillType2 == FT_NEGATIVE:
+            b1Wc2 = -b1.wc2
+        else:
+            b1Wc2 = abs(b1.wc2)
+        if b2FillType2 == FT_POSITIVE:
+            b2Wc2 = b2.wc2
+        elif b2FillType2 == FT_NEGATIVE:
+            b2Wc2 = -b2.wc2
+        else:
+            b2Wc2 = abs(b2.wc2)
+
+        if b1.poly_type != b2.poly_type:
+            add_local_minimum_point(b1, b2, active_bounds, pt, mgr)
+        elif b1Wc == 1 and b2Wc == 1:
+            if cliptype == CLIP_INTERSECTION:
+                if b1Wc2 > 0 and b2Wc2 > 0:
+                    add_local_minimum_point(b1, b2, active_bounds, pt, mgr)
+            elif cliptype == CLIP_DIFFERENCE:
+                if ((b1.poly_type == PT_CLIP and b1Wc2 > 0 and b2Wc2 > 0) or
+                        (b1.poly_type == PT_SUBJECT and b1Wc2 <= 0 and b2Wc2 <= 0)):
+                    add_local_minimum_point(b1, b2, active_bounds, pt, mgr)
+            elif cliptype == CLIP_XOR:
+                add_local_minimum_point(b1, b2, active_bounds, pt, mgr)
+            else:  # union (and default)
+                if b1Wc2 <= 0 and b2Wc2 <= 0:
+                    add_local_minimum_point(b1, b2, active_bounds, pt, mgr)
+        else:
+            swap_sides(b1, b2)
+
+
+def bounds_adjacent(inode, nxt) -> bool:
+    return nxt is inode.bound2 or nxt is inode.bound1
+
+
+def process_intersect_list(intersects, cliptype, subject_fill_type,
+                           clip_fill_type, mgr, active_bounds):
+    for ni in range(len(intersects)):
+        node = intersects[ni]
+        b1i = next(i for i, b in enumerate(active_bounds)
+                   if b is node.bound1 or b is node.bound2)
+        b2i = b1i + 1
+        if not bounds_adjacent(node, active_bounds[b2i]):
+            nj = ni + 1
+            while nj < len(intersects):
+                nn = intersects[nj]
+                n1 = next(i for i, b in enumerate(active_bounds)
+                          if b is nn.bound1 or b is nn.bound2)
+                n2 = n1 + 1
+                if bounds_adjacent(nn, active_bounds[n2]):
+                    b1i, b2i = n1, n2
+                    break
+                nj += 1
+            if nj == len(intersects):
+                raise RuntimeError("Could not properly correct intersection order.")
+            intersects[ni], intersects[nj] = intersects[nj], intersects[ni]
+            node = intersects[ni]
+        pt = round_point(node.pt)
+        intersect_bounds(node.bound1, node.bound2, pt, cliptype,
+                         subject_fill_type, clip_fill_type, mgr, active_bounds)
+        active_bounds[b1i], active_bounds[b2i] = active_bounds[b2i], active_bounds[b1i]
+
+
+def process_intersections(top_y, active_bounds, cliptype, subject_fill_type,
+                          clip_fill_type, mgr):
+    if not active_bounds:
+        return
+    update_current_x(active_bounds, top_y)
+    intersects = []
+    build_intersect_list(active_bounds, intersects)
+    if not intersects:
+        return
+    # restore order by pos
+    active_bounds.sort(key=lambda b: b.pos)
+    # sort the intersection list (stable): y DESC by ULP-equal grouping,
+    # ties by wc2 sums ASC
+    import functools
+
+    def comp(n1, n2):
+        if not values_are_equal(n2.pt[1], n1.pt[1]):
+            return -1 if n2.pt[1] < n1.pt[1] else 1
+        s1 = n1.bound1.wc2 + n1.bound2.wc2
+        s2 = n2.bound1.wc2 + n2.bound2.wc2
+        if s2 > s1:
+            return -1
+        if s1 > s2:
+            return 1
+        return 0
+
+    intersects.sort(key=functools.cmp_to_key(comp))
+    process_intersect_list(intersects, cliptype, subject_fill_type,
+                           clip_fill_type, mgr, active_bounds)
+
+
+# ---------------------------------------------------------------------------
+# process_horizontal.hpp
+
+
+def process_horizontal_left_to_right(scanline_y, hb, active_bounds, mgr,
+                                     scanbeam, cliptype, sft, cft):
+    """hb: index of the horizontal bound.  Returns next index to scan."""
+    horizontal_itr_behind = hb
+    shifted = False
+    is_maxima_edge = is_maxima_b(active_bounds[hb], scanline_y)
+    bound_max_pair = len(active_bounds)
+    if is_maxima_edge:
+        bound_max_pair = get_maxima_pair(active_bounds[hb], active_bounds)
+
+    hps = mgr.hot_pixels
+    hp = mgr.current_hp
+    while hp < len(hps) and (hps[hp][1] > scanline_y or
+                             (hps[hp][1] == scanline_y and
+                              hps[hp][0] < active_bounds[hb].current_edge.bot[0])):
+        hp += 1
+
+    bnd = hb + 1
+    while bnd < len(active_bounds):
+        if active_bounds[bnd] is None:
+            bnd += 1
+            continue
+        hbond = active_bounds[hb]
+        b = active_bounds[bnd]
+        while hp < len(hps) and hps[hp][1] == scanline_y and \
+                hps[hp][0] < llround(b.current_x) and \
+                hps[hp][0] < hbond.current_edge.top[0]:
+            if hbond.ring is not None:
+                add_point_to_ring(hbond, hps[hp], mgr)
+            hp += 1
+
+        if greater_than(b.current_x, float(hbond.current_edge.top[0])):
+            break
+        if llround(b.current_x) == hbond.current_edge.top[0] and \
+                not hbond.next_is_end() and \
+                hbond.current_edge.dx < hbond.next_edge.dx:
+            break
+
+        if hbond.ring is not None:
+            add_point_to_ring(
+                hbond, (llround(b.current_x), scanline_y), mgr)
+
+        if is_maxima_edge and bnd == bound_max_pair:
+            if hbond.ring is not None and active_bounds[bound_max_pair].ring is not None:
+                add_local_maximum_point(hbond, active_bounds[bound_max_pair],
+                                        hbond.current_edge.top, mgr, active_bounds)
+            active_bounds[bound_max_pair] = None
+            active_bounds[hb] = None
+            if not shifted:
+                horizontal_itr_behind += 1
+            return horizontal_itr_behind
+
+        intersect_bounds(hbond, b, (llround(b.current_x), scanline_y),
+                         cliptype, sft, cft, mgr, active_bounds)
+        active_bounds[hb], active_bounds[bnd] = active_bounds[bnd], active_bounds[hb]
+        hb = bnd
+        bnd += 1
+        shifted = True
+
+    hbond = active_bounds[hb]
+    if hbond.ring is not None:
+        while hp < len(hps) and hps[hp][1] == scanline_y and \
+                hps[hp][0] < hbond.current_edge.top[0]:
+            add_point_to_ring(hbond, hps[hp], mgr)
+            hp += 1
+    if hbond.ring is not None:
+        add_point_to_ring(hbond, hbond.current_edge.top, mgr)
+    if not hbond.next_is_end():
+        next_edge_in_bound(hbond, scanbeam)
+    else:
+        active_bounds[hb] = None
+    if not shifted:
+        horizontal_itr_behind += 1
+    return horizontal_itr_behind
+
+
+def process_horizontal_right_to_left(scanline_y, hb, active_bounds, mgr,
+                                     scanbeam, cliptype, sft, cft):
+    next_bnd_itr = hb + 1
+    is_maxima_edge = is_maxima_b(active_bounds[hb], scanline_y)
+    bound_max_pair = -1
+    if is_maxima_edge:
+        bound_max_pair = get_maxima_pair(active_bounds[hb], active_bounds)
+
+    hps = mgr.hot_pixels
+    hpf = mgr.current_hp
+    while hpf < len(hps) and (hps[hpf][1] < scanline_y or
+                              (hps[hpf][1] == scanline_y and
+                               hps[hpf][0] < active_bounds[hb].current_edge.top[0])):
+        hpf += 1
+    hp = hpf - 1  # reverse iterator position
+
+    bnd = hb - 1
+    while bnd >= 0:
+        if active_bounds[bnd] is None:
+            bnd -= 1
+            continue
+        hbond = active_bounds[hb]
+        b = active_bounds[bnd]
+        while hp >= 0 and hps[hp][1] == scanline_y and \
+                hps[hp][0] > llround(b.current_x) and \
+                hps[hp][0] > hbond.current_edge.top[0]:
+            if hbond.ring is not None:
+                add_point_to_ring(hbond, hps[hp], mgr)
+            hp -= 1
+
+        if less_than(b.current_x, float(hbond.current_edge.top[0])):
+            break
+        if llround(b.current_x) == hbond.current_edge.top[0] and \
+                not hbond.next_is_end() and \
+                hbond.current_edge.dx < hbond.next_edge.dx:
+            break
+
+        if hbond.ring is not None:
+            add_point_to_ring(
+                hbond, (llround(b.current_x), scanline_y), mgr)
+
+        if is_maxima_edge and bnd == bound_max_pair:
+            if hbond.ring is not None and active_bounds[bound_max_pair].ring is not None:
+                add_local_maximum_point(hbond, active_bounds[bound_max_pair],
+                                        hbond.current_edge.top, mgr, active_bounds)
+            active_bounds[bound_max_pair] = None
+            active_bounds[hb] = None
+            return next_bnd_itr
+
+        intersect_bounds(b, hbond, (llround(b.current_x), scanline_y),
+                         cliptype, sft, cft, mgr, active_bounds)
+        active_bounds[hb], active_bounds[bnd] = active_bounds[bnd], active_bounds[hb]
+        hb = bnd
+        bnd -= 1
+
+    hbond = active_bounds[hb]
+    if hbond.ring is not None:
+        while hp >= 0 and hps[hp][1] == scanline_y and \
+                hps[hp][0] > hbond.current_edge.top[0]:
+            add_point_to_ring(hbond, hps[hp], mgr)
+            hp -= 1
+    if hbond.ring is not None:
+        add_point_to_ring(hbond, hbond.current_edge.top, mgr)
+    if not hbond.next_is_end():
+        next_edge_in_bound(hbond, scanbeam)
+    else:
+        active_bounds[hb] = None
+    return next_bnd_itr
+
+
+def process_horizontal(scanline_y, hb, active_bounds, mgr, scanbeam,
+                       cliptype, sft, cft):
+    b = active_bounds[hb]
+    if b.current_edge.bot[0] < b.current_edge.top[0]:
+        return process_horizontal_left_to_right(
+            scanline_y, hb, active_bounds, mgr, scanbeam, cliptype, sft, cft)
+    return process_horizontal_right_to_left(
+        scanline_y, hb, active_bounds, mgr, scanbeam, cliptype, sft, cft)
+
+
+def process_horizontals(scanline_y, active_bounds, mgr, scanbeam,
+                        cliptype, sft, cft):
+    i = 0
+    while i < len(active_bounds):
+        b = active_bounds[i]
+        if b is not None and is_horizontal(b.current_edge):
+            i = process_horizontal(scanline_y, i, active_bounds, mgr,
+                                   scanbeam, cliptype, sft, cft)
+        else:
+            i += 1
+    active_bounds[:] = [b for b in active_bounds if b is not None]
+
+
+# ---------------------------------------------------------------------------
+# process_maxima.hpp
+
+
+def do_maxima(bnd, bndMaxPair, cliptype, sft, cft, mgr, active_bounds):
+    """bnd/bndMaxPair: indices.  Returns next index."""
+    bnd_next = bnd + 1
+    return_bnd = bnd
+    skipped = False
+    while bnd_next < len(active_bounds) and bnd_next != bndMaxPair:
+        if active_bounds[bnd_next] is None:
+            bnd_next += 1
+            continue
+        skipped = True
+        intersect_bounds(active_bounds[bnd], active_bounds[bnd_next],
+                         active_bounds[bnd].current_edge.top, cliptype,
+                         sft, cft, mgr, active_bounds)
+        active_bounds[bnd], active_bounds[bnd_next] = \
+            active_bounds[bnd_next], active_bounds[bnd]
+        bnd = bnd_next
+        bnd_next += 1
+
+    if active_bounds[bnd].ring is not None and active_bounds[bndMaxPair].ring is not None:
+        add_local_maximum_point(active_bounds[bnd], active_bounds[bndMaxPair],
+                                active_bounds[bnd].current_edge.top, mgr, active_bounds)
+    elif active_bounds[bnd].ring is not None or active_bounds[bndMaxPair].ring is not None:
+        raise RuntimeError("DoMaxima error")
+    active_bounds[bndMaxPair] = None
+    active_bounds[bnd] = None
+    if not skipped:
+        return_bnd += 1
+    return return_bnd
+
+
+def insert_lm_left_and_right_bound(left_bound, right_bound, active_bounds,
+                                   mgr, scanbeam, cliptype, sft, cft):
+    lb = insert_bound_into_ABL(left_bound, right_bound, active_bounds)
+    rb = lb + 1
+    set_winding_count(lb, active_bounds, sft, cft)
+    active_bounds[rb].wc = active_bounds[lb].wc
+    active_bounds[rb].wc2 = active_bounds[lb].wc2
+    if is_contributing(left_bound, cliptype, sft, cft):
+        add_local_minimum_point(active_bounds[lb], active_bounds[rb],
+                                active_bounds, active_bounds[lb].current_edge.bot, mgr)
+    insert_sorted_scanbeam(scanbeam, active_bounds[lb].current_edge.top[1])
+    if not is_horizontal(active_bounds[rb].current_edge):
+        insert_sorted_scanbeam(scanbeam, active_bounds[rb].current_edge.top[1])
+
+
+def insert_local_minima_into_ABL(bot_y, minima_sorted, lm_idx, active_bounds,
+                                 mgr, scanbeam, cliptype, sft, cft):
+    while lm_idx < len(minima_sorted) and minima_sorted[lm_idx].y == bot_y:
+        lm = minima_sorted[lm_idx]
+        initialize_lm(lm)
+        insert_lm_left_and_right_bound(lm.left_bound, lm.right_bound,
+                                       active_bounds, mgr, scanbeam,
+                                       cliptype, sft, cft)
+        lm_idx += 1
+    return lm_idx
+
+
+def insert_horizontal_local_minima_into_ABL(top_y, minima_sorted, lm_idx,
+                                            active_bounds, mgr, scanbeam,
+                                            cliptype, sft, cft):
+    while lm_idx < len(minima_sorted) and minima_sorted[lm_idx].y == top_y \
+            and minima_sorted[lm_idx].minimum_has_horizontal:
+        lm = minima_sorted[lm_idx]
+        initialize_lm(lm)
+        insert_lm_left_and_right_bound(lm.left_bound, lm.right_bound,
+                                       active_bounds, mgr, scanbeam,
+                                       cliptype, sft, cft)
+        lm_idx += 1
+    return lm_idx
+
+
+def process_edges_at_top_of_scanbeam(top_y, active_bounds, scanbeam,
+                                     minima_sorted, lm_idx, mgr,
+                                     cliptype, sft, cft):
+    i = 0
+    while i < len(active_bounds):
+        b = active_bounds[i]
+        if b is None:
+            i += 1
+            continue
+        # 1. process maxima (non-horizontal)
+        is_maxima_edge = is_maxima_b(b, top_y)
+        if is_maxima_edge:
+            mp = get_maxima_pair(b, active_bounds)
+            is_maxima_edge = (
+                (mp == len(active_bounds)
+                 or not is_horizontal(active_bounds[mp].current_edge))
+                and mp < len(active_bounds) and is_maxima_b(active_bounds[mp], top_y))
+            if is_maxima_edge:
+                i = do_maxima(i, mp, cliptype, sft, cft, mgr, active_bounds)
+                continue
+        # 2. promote horizontal edges
+        if is_intermediate_b(b, top_y) and is_horizontal(b.next_edge):
+            if b.ring is not None:
+                insert_hot_pixels_in_path(b, b.current_edge.top, mgr, False)
+            next_edge_in_bound(b, scanbeam)
+            if b.ring is not None:
+                add_point_to_ring(b, b.current_edge.bot, mgr)
+        else:
+            b.current_x = get_current_x(b.current_edge, top_y)
+        i += 1
+    active_bounds[:] = [b for b in active_bounds if b is not None]
+
+    lm_idx = insert_horizontal_local_minima_into_ABL(
+        top_y, minima_sorted, lm_idx, active_bounds, mgr, scanbeam,
+        cliptype, sft, cft)
+
+    process_horizontals(top_y, active_bounds, mgr, scanbeam, cliptype, sft, cft)
+
+    # 4. promote intermediate vertices
+    for b in active_bounds:
+        if is_intermediate_b(b, top_y):
+            if b.ring is not None:
+                add_point_to_ring(b, b.current_edge.top, mgr)
+            next_edge_in_bound(b, scanbeam)
+    return lm_idx
+
+
+# ---------------------------------------------------------------------------
+# vatti.hpp
+
+
+def execute_vatti(minima_list, mgr, cliptype, sft, cft):
+    active_bounds = []
+    scanbeam = []
+    minima_sorted = sort_minima(minima_list)
+    lm_idx = 0
+    setup_scanbeam(minima_list, scanbeam)
+    mgr.current_hp = 0
+    while True:
+        y = pop_from_scanbeam(scanbeam)
+        if y is None:
+            # every local minimum seeds the scanbeam, so an empty beam
+            # means all minima were consumed too
+            break
+        scanline_y = y
+        process_intersections(scanline_y, active_bounds, cliptype, sft, cft, mgr)
+        update_current_hp_itr(scanline_y, mgr)
+        lm_idx = process_edges_at_top_of_scanbeam(
+            scanline_y, active_bounds, scanbeam, minima_sorted, lm_idx, mgr,
+            cliptype, sft, cft)
+        lm_idx = insert_local_minima_into_ABL(
+            scanline_y, minima_sorted, lm_idx, active_bounds, mgr, scanbeam,
+            cliptype, sft, cft)
+
+
+# ---------------------------------------------------------------------------
+# ring_util.hpp point-in-polygon family (needed by topology correction)
+
+PIP_ON, PIP_INSIDE, PIP_OUTSIDE = -1, 0, 1
+
+
+def point_in_polygon(pt: Point, op: Point) -> int:
+    result = PIP_OUTSIDE
+    start = op
+    while True:
+        if op.next.y == pt.y:
+            if op.next.x == pt.x or (op.y == pt.y and ((op.next.x > pt.x) == (op.x < pt.x))):
+                return PIP_ON
+        if (op.y < pt.y) != (op.next.y < pt.y):
+            if op.x >= pt.x:
+                if op.next.x > pt.x:
+                    result = PIP_INSIDE if result == PIP_OUTSIDE else PIP_OUTSIDE
+                else:
+                    d = float(op.x - pt.x) * float(op.next.y - pt.y) - \
+                        float(op.next.x - pt.x) * float(op.y - pt.y)
+                    if value_is_zero(d):
+                        return PIP_ON
+                    if (d > 0) == (op.next.y > op.y):
+                        result = PIP_INSIDE if result == PIP_OUTSIDE else PIP_OUTSIDE
+            else:
+                if op.next.x > pt.x:
+                    d = float(op.x - pt.x) * float(op.next.y - pt.y) - \
+                        float(op.next.x - pt.x) * float(op.y - pt.y)
+                    if value_is_zero(d):
+                        return PIP_ON
+                    if (d > 0) == (op.next.y > op.y):
+                        result = PIP_INSIDE if result == PIP_OUTSIDE else PIP_OUTSIDE
+        op = op.next
+        if op is start:
+            break
+    return result
+
+
+def point_in_polygon_d(ptx: float, pty: float, op: Point) -> int:
+    result = PIP_OUTSIDE
+    start = op
+    while True:
+        op_x = float(op.x)
+        op_y = float(op.y)
+        op_next_x = float(op.next.x)
+        op_next_y = float(op.next.y)
+        if values_are_equal(op_next_y, pty):
+            if values_are_equal(op_next_x, ptx) or \
+                    (values_are_equal(op_y, pty) and ((op_next_x > ptx) == (op_x < ptx))):
+                return PIP_ON
+        if (op_y < pty) != (op_next_y < pty):
+            if greater_than_or_equal(op_x, ptx):
+                if op_next_x > ptx:
+                    result = PIP_INSIDE if result == PIP_OUTSIDE else PIP_OUTSIDE
+                else:
+                    d = (op_x - ptx) * (op_next_y - pty) - (op_next_x - ptx) * (op_y - pty)
+                    if value_is_zero(d):
+                        return PIP_ON
+                    if (d > 0.0) == (op_next_y > op_y):
+                        result = PIP_INSIDE if result == PIP_OUTSIDE else PIP_OUTSIDE
+            else:
+                if op_next_x > ptx:
+                    d = (op_x - ptx) * (op_next_y - pty) - (op_next_x - ptx) * (op_y - pty)
+                    if value_is_zero(d):
+                        return PIP_ON
+                    if (d > 0.0) == (op_next_y > op_y):
+                        result = PIP_INSIDE if result == PIP_OUTSIDE else PIP_OUTSIDE
+        op = op.next
+        if op is start:
+            break
+    return result
+
+
+def is_convex(edge: Point) -> bool:
+    prev = edge.prev
+    nxt = edge.next
+    v1x = edge.x - prev.x
+    v1y = edge.y - prev.y
+    v2x = nxt.x - edge.x
+    v2y = nxt.y - edge.y
+    cross = v1x * v2y - v2x * v1y
+    if cross < 0 and edge.ring.area() > 0:
+        return True
+    if cross > 0 and edge.ring.area() < 0:
+        return True
+    return False
+
+
+def centroid_of_points(edge: Point):
+    prev = edge.prev
+    nxt = edge.next
+    return (float(prev.x + edge.x + nxt.x) / 3.0,
+            float(prev.y + edge.y + nxt.y) / 3.0)
+
+
+def inside_or_outside_special(first_pt: Point, other_poly: Point) -> int:
+    itr = first_pt
+    while True:
+        if is_convex(itr):
+            ptx, pty = centroid_of_points(itr)
+            if point_in_polygon_d(ptx, pty, first_pt) == PIP_INSIDE:
+                return point_in_polygon_d(ptx, pty, other_poly)
+        itr = itr.next
+        if itr is first_pt:
+            break
+    raise RuntimeError("Could not find a point within the polygon to test")
+
+
+def box2_contains_box1(box1, box2) -> bool:
+    return (box2[2] >= box1[2] and box2[3] >= box1[3]
+            and box2[0] <= box1[0] and box2[1] <= box1[1])
+
+
+def poly2_contains_poly1(ring1: Ring, ring2: Ring) -> bool:
+    if not box2_contains_box1(ring1.bbox, ring2.bbox):
+        return False
+    if abs(ring2.area()) < abs(ring1.area()):
+        return False
+    outpt1 = ring1.points.next
+    outpt2 = ring2.points.next
+    op = outpt1
+    while True:
+        res = point_in_polygon(op, outpt2)
+        if res != PIP_ON:
+            return res == PIP_INSIDE
+        op = op.next
+        if op is outpt1:
+            break
+    return inside_or_outside_special(outpt1, outpt2) == PIP_INSIDE
+
+
+# ---------------------------------------------------------------------------
+# topology_correction.hpp
+
+
+def find_intersect_loop(dupe_ring, iList, ring_parent, ring_origin,
+                        ring_search, visited, orig_pt, prev_pt, mgr):
+    lst = dupe_ring.get(ring_search)
+    if lst is not None:
+        # Check for direct connection (erasing invalid entries)
+        k = 0
+        while k < len(lst):
+            pair = lst[k]
+            it_ring1 = pair[0].ring
+            it_ring2 = pair[1].ring
+            if it_ring1 is None or it_ring2 is None or it_ring1 is not ring_search or \
+                    (not it_ring1.is_hole() and not it_ring2.is_hole()):
+                lst.pop(k)
+                continue
+            if it_ring2 is ring_origin and \
+                    (ring_parent is it_ring2 or ring_parent is it_ring2.parent) and \
+                    not pt_eq(prev_pt, pair[1]) and not pt_eq(orig_pt, pair[1]):
+                iList.insert(0, (ring_search, pair))
+                return True
+            k += 1
+    visited.add(id(ring_search))
+    lst = dupe_ring.get(ring_search)
+    if lst is not None:
+        for pair in list(lst):
+            it_ring = pair[1].ring
+            if id(it_ring) in visited or it_ring is None or \
+                    (ring_parent is not it_ring and ring_parent is not it_ring.parent) or \
+                    value_is_zero(it_ring.area()) or pt_eq(prev_pt, pair[1]):
+                continue
+            if find_intersect_loop(dupe_ring, iList, ring_parent, ring_origin,
+                                   it_ring, visited, orig_pt, pair[1], mgr):
+                iList.insert(0, (ring_search, pair))
+                return True
+    return False
+
+
+def correct_orientations(mgr: RingManager):
+    for r in list(mgr.rings):
+        if r.points is None:
+            continue
+        r.recalculate_stats()
+        if r.size() < 3:
+            remove_ring_and_points(r, mgr, False)
+            continue
+        if ring_is_hole(r) != r.is_hole():
+            reverse_ring(r.points)
+            r.recalculate_stats()
+
+
+def sort_ring_points(r: Ring):
+    sorted_points = []
+    point_itr = r.points
+    last_point = point_itr.prev
+    while point_itr is not last_point:
+        sorted_points.append(point_itr)
+        point_itr = point_itr.next
+    sorted_points.append(last_point)
+    sorted_points.sort(key=lambda p: (-p.y, p.x))
+    return sorted_points
+
+
+def correct_self_intersection(pt1: Point, pt2: Point, mgr: RingManager):
+    if pt1.ring is not pt2.ring:
+        return None
+    ring = pt1.ring
+    pt3 = pt1.prev
+    pt4 = pt2.prev
+    pt1.prev = pt4
+    pt4.next = pt1
+    pt2.prev = pt3
+    pt3.next = pt2
+    new_ring = create_new_ring(mgr)
+    area_1, size_1, box1 = area_from_point(pt1)
+    area_2, size_2, box2 = area_from_point(pt2)
+    if abs(area_1) > abs(area_2):
+        ring.points = pt1
+        ring.set_stats(area_1, size_1, box1)
+        new_ring.points = pt2
+        new_ring.set_stats(area_2, size_2, box2)
+    else:
+        ring.points = pt2
+        ring.set_stats(area_2, size_2, box2)
+        new_ring.points = pt1
+        new_ring.set_stats(area_1, size_1, box1)
+    update_points_ring(new_ring)
+    return new_ring
+
+
+def correct_repeated_points(mgr, new_rings, pts, begin, end):
+    for i1 in range(begin, end):
+        if pts[i1].ring is None:
+            continue
+        for i2 in range(i1 + 1, end):
+            if pts[i2].ring is None:
+                continue
+            new_ring = correct_self_intersection(pts[i1], pts[i2], mgr)
+            if new_ring is not None:
+                new_rings.append(new_ring)
+
+
+def find_and_correct_repeated_points(r, mgr, new_rings):
+    sorted_points = sort_ring_points(r)
+    n = len(sorted_points)
+    count = 0
+    prev_itr = 0
+    itr = 1
+    while itr < n:
+        if pt_eq(sorted_points[prev_itr], sorted_points[itr]):
+            count += 1
+            prev_itr += 1
+            itr += 1
+            if itr < n:
+                continue
+            else:
+                prev_itr += 1
+        else:
+            prev_itr += 1
+            itr += 1
+        if count == 0:
+            continue
+        first = prev_itr - (count + 1)
+        correct_repeated_points(mgr, new_rings, sorted_points, first, prev_itr)
+        count = 0
+
+
+def reassign_children_if_necessary(new_ring, sibling_ring, mgr, new_rings):
+    children = mgr.children if sibling_ring is None else sibling_ring.children
+    for c in list(children):
+        if c is None:
+            continue
+        if c in new_rings:
+            continue
+        if poly2_contains_poly1(c, new_ring):
+            reassign_as_child(c, new_ring, mgr)
+
+
+def find_parent_in_tree(r, possible_parent, mgr) -> bool:
+    for c in possible_parent.children:
+        if c is None:
+            continue
+        for gc in c.children:
+            if gc is None:
+                continue
+            if find_parent_in_tree(r, gc, mgr):
+                return True
+    if poly2_contains_poly1(r, possible_parent):
+        reassign_as_child(r, possible_parent, mgr)
+        return True
+    return False
+
+
+def assign_new_ring_parents(mgr, original_ring, new_rings):
+    new_rings[:] = [r for r in new_rings
+                    if r.points is not None and not value_is_zero(r.area())]
+    if not new_rings:
+        return
+    original_ring_area = original_ring.area()
+    original_positive = original_ring_area > 0.0
+    if len(new_rings) == 1:
+        new_ring_area = new_rings[0].area()
+        new_positive = new_ring_area > 0.0
+        if original_positive == new_positive:
+            assign_as_child(new_rings[0], original_ring.parent, mgr)
+            reassign_children_if_necessary(new_rings[0], original_ring, mgr, new_rings)
+        else:
+            assign_as_child(new_rings[0], original_ring, mgr)
+            reassign_children_if_necessary(new_rings[0], original_ring.parent, mgr, new_rings)
+        return
+
+    new_rings.sort(key=lambda r: -abs(r.area()))
+    for ri in range(len(new_rings)):
+        r = new_rings[ri]
+        new_positive = r.area() > 0.0
+        same_orientation = new_positive == original_positive
+        found = False
+        for si in range(ri):
+            s = new_rings[si]
+            if s.parent is not original_ring.parent:
+                continue
+            if same_orientation:
+                for s_child in s.children:
+                    if s_child is None:
+                        continue
+                    if find_parent_in_tree(r, s_child, mgr):
+                        reassign_children_if_necessary(r, original_ring, mgr, new_rings)
+                        found = True
+                        break
+            else:
+                if find_parent_in_tree(r, s, mgr):
+                    reassign_children_if_necessary(r, original_ring.parent, mgr, new_rings)
+                    found = True
+            if found:
+                break
+        if found:
+            continue
+        if same_orientation:
+            for o_child in original_ring.children:
+                if o_child is None:
+                    continue
+                if find_parent_in_tree(r, o_child, mgr):
+                    reassign_children_if_necessary(r, original_ring, mgr, new_rings)
+                    found = True
+                    break
+            if not found:
+                assign_as_child(r, original_ring.parent, mgr)
+                reassign_children_if_necessary(r, original_ring, mgr, new_rings)
+        else:
+            if find_parent_in_tree(r, original_ring, mgr):
+                reassign_children_if_necessary(r, original_ring.parent, mgr, new_rings)
+            else:
+                raise RuntimeError("Unable to find a proper parent ring")
+
+
+def correct_ring_self_intersections(mgr, r, correct_tree_flag) -> bool:
+    if r.corrected or r.points is None:
+        return False
+    new_rings = []
+    find_and_correct_repeated_points(r, mgr, new_rings)
+    if correct_tree_flag:
+        assign_new_ring_parents(mgr, r, new_rings)
+    r.corrected = True
+    return True
+
+
+def _mm_insert(cmap, key, val):
+    """libstdc++ unordered_multimap equal-key order: a new equivalent
+    key is linked right AFTER the first existing one."""
+    lst = cmap.get(id(key))
+    if lst is None:
+        cmap[id(key)] = (key, [val])
+    else:
+        lst[1].insert(1, val)
+
+
+def process_single_intersection(cmap, op_j, op_k, mgr):
+    ring_j = op_j.ring
+    ring_k = op_k.ring
+    if ring_j is ring_k:
+        return
+    if not ring_j.is_hole() and not ring_k.is_hole():
+        return
+
+    if not ring_j.is_hole():
+        ring_origin = ring_j
+        ring_parent = ring_origin
+        ring_search = ring_k
+        op_origin_1 = op_j
+        op_origin_2 = op_k
+    elif not ring_k.is_hole():
+        ring_origin = ring_k
+        ring_parent = ring_origin
+        ring_search = ring_j
+        op_origin_1 = op_k
+        op_origin_2 = op_j
+    else:
+        ring_origin = ring_j
+        ring_parent = ring_origin.parent
+        ring_search = ring_k
+        op_origin_1 = op_j
+        op_origin_2 = op_k
+    if ring_parent is not ring_search.parent:
+        return
+
+    found = False
+    iList = []
+    ent = cmap.get(id(ring_search))
+    if ent is not None:
+        lst = ent[1]
+        k = 0
+        while k < len(lst):
+            pair = lst[k]
+            if pair[0].ring is None:
+                lst.pop(k)
+                continue
+            if pair[1].ring is None:
+                lst.pop(k)
+                continue
+            it_ring2 = pair[1].ring
+            if it_ring2 is ring_origin:
+                found = True
+                if not pt_eq(op_origin_1, pair[1]):
+                    iList.append((ring_search, pair))
+                    break
+            k += 1
+    if not iList:
+        ent = cmap.get(id(ring_search))
+        if ent is not None:
+            visited = {id(ring_search)}
+            for pair in list(ent[1]):
+                it_ring = pair[1].ring
+                if it_ring is not ring_search and not pt_eq(op_origin_2, pair[1]) and \
+                        it_ring is not None and \
+                        (ring_parent is it_ring or ring_parent is it_ring.parent) and \
+                        not value_is_zero(it_ring.area()) and \
+                        find_intersect_loop(_cmap_view(cmap), iList, ring_parent,
+                                            ring_origin, it_ring, visited,
+                                            op_origin_2, pair[1], mgr):
+                    found = True
+                    iList.insert(0, (ring_search, pair))
+                    break
+    if not found:
+        _mm_insert(cmap, ring_origin, (op_origin_1, op_origin_2))
+        _mm_insert(cmap, ring_search, (op_origin_2, op_origin_1))
+        return
+
+    if not iList:
+        missing = True
+        ent = cmap.get(id(ring_origin))
+        if ent is not None:
+            for pair in ent[1]:
+                if pair[1].ring is ring_search:
+                    missing = False
+        if missing:
+            _mm_insert(cmap, ring_origin, (op_origin_1, op_origin_2))
+        return
+
+    if ring_origin.is_hole():
+        for idx in range(len(iList)):
+            ring_itr, pair = iList[idx]
+            if not ring_itr.is_hole():
+                op1 = op_origin_1
+                op_origin_1 = pair[0]
+                op_origin_2_new = pair[1]
+                iList[idx] = (ring_origin, (op1, op_origin_2))
+                op_origin_2 = op_origin_2_new
+                ring_origin = ring_itr
+                ring_parent = ring_origin
+                break
+    origin_is_hole = ring_origin.is_hole()
+
+    # switch
+    op_origin_1_next = op_origin_1.next
+    op_origin_2_next = op_origin_2.next
+    op_origin_1.next = op_origin_2_next
+    op_origin_2.next = op_origin_1_next
+    op_origin_1_next.prev = op_origin_2
+    op_origin_2_next.prev = op_origin_1
+
+    for ring_itr, pair in iList:
+        op_search_1, op_search_2 = pair
+        op_search_1_next = op_search_1.next
+        op_search_2_next = op_search_2.next
+        op_search_1.next = op_search_2_next
+        op_search_2.next = op_search_1_next
+        op_search_1_next.prev = op_search_2
+        op_search_2_next.prev = op_search_1
+
+    ring_new = create_new_ring(mgr)
+    ring_origin.corrected = False
+    area_1, size_1, box1 = area_from_point(op_origin_1)
+    area_2, size_2, box2 = area_from_point(op_origin_2)
+    if origin_is_hole and area_1 < 0.0:
+        ring_origin.points = op_origin_1
+        ring_origin.set_stats(area_1, size_1, box1)
+        ring_new.points = op_origin_2
+        ring_new.set_stats(area_2, size_2, box2)
+    else:
+        ring_origin.points = op_origin_2
+        ring_origin.set_stats(area_2, size_2, box2)
+        ring_new.points = op_origin_1
+        ring_new.set_stats(area_1, size_1, box1)
+
+    update_points_ring(ring_origin)
+    update_points_ring(ring_new)
+    ring_origin.bottom_point = None
+
+    for ring_itr, pair in iList:
+        ring_itr.bottom_point = None
+        if origin_is_hole:
+            ring1_replaces_ring2(ring_origin, ring_itr, mgr)
+        else:
+            ring1_replaces_ring2(ring_origin.parent, ring_itr, mgr)
+
+    if origin_is_hole:
+        assign_as_child(ring_new, ring_origin, mgr)
+        for c in list(ring_parent.children):
+            if c is None:
+                continue
+            if poly2_contains_poly1(c, ring_new):
+                reassign_as_child(c, ring_new, mgr)
+    else:
+        assign_as_sibling(ring_new, ring_origin, mgr)
+        for c in list(ring_origin.children):
+            if c is None:
+                continue
+            if poly2_contains_poly1(c, ring_new):
+                reassign_as_child(c, ring_new, mgr)
+
+    move_list = []
+    for ring_itr, _pair in iList:
+        ent = cmap.pop(id(ring_itr), None)
+        if ent is not None:
+            for pair in ent[1]:
+                it_ring = pair[0].ring
+                it_ring2 = pair[1].ring
+                if it_ring is None or it_ring2 is None or it_ring is it_ring2:
+                    continue
+                if it_ring.is_hole() or it_ring2.is_hole():
+                    move_list.append((it_ring, pair))
+
+    ent = cmap.get(id(ring_origin))
+    if ent is not None:
+        lst = ent[1]
+        k = 0
+        while k < len(lst):
+            pair = lst[k]
+            it_ring = pair[0].ring
+            it_ring2 = pair[1].ring
+            if it_ring is None or it_ring2 is None or it_ring is it_ring2:
+                lst.pop(k)
+                continue
+            if it_ring is not ring_origin:
+                if it_ring.is_hole() or it_ring2.is_hole():
+                    move_list.append((it_ring, pair))
+                lst.pop(k)
+            else:
+                if it_ring.is_hole() or it_ring2.is_hole():
+                    k += 1
+                else:
+                    lst.pop(k)
+
+    for key_ring, pair in move_list:
+        _mm_insert(cmap, key_ring, pair)
+
+
+def _cmap_view(cmap):
+    """find_intersect_loop sees the same map structure: adapt
+    {id: (ring, list)} to {ring: list} lookups via a tiny wrapper."""
+    class _V:
+        def get(self, ring):
+            ent = cmap.get(id(ring))
+            return ent[1] if ent is not None else None
+    return _V()
+
+
+def correct_chained_repeats(mgr, cmap, pts, begin, end):
+    for i1 in range(begin, end):
+        if pts[i1].ring is None:
+            continue
+        for i2 in range(i1 + 1, end):
+            if pts[i2].ring is None:
+                continue
+            process_single_intersection(cmap, pts[i1], pts[i2], mgr)
+
+
+def correct_chained_rings(mgr):
+    if len(mgr.all_points) < 2:
+        return
+    cmap = {}
+    pts = mgr.all_points
+    n = len(pts)
+    count = 0
+    prev_itr = 0
+    itr = 1
+    while itr < n:
+        if pt_eq(pts[prev_itr], pts[itr]):
+            count += 1
+            prev_itr += 1
+            itr += 1
+            if itr < n:
+                continue
+            else:
+                prev_itr += 1
+        else:
+            prev_itr += 1
+            itr += 1
+        if count == 0:
+            continue
+        first = prev_itr - (count + 1)
+        correct_chained_repeats(mgr, cmap, pts, first, prev_itr)
+        count = 0
+
+
+def sort_rings_largest_to_smallest(mgr):
+    rings = list(mgr.rings)
+    import functools
+
+    def comp(r1, r2):
+        if r1.points is None or r2.points is None:
+            a = r1.points is not None
+            b = r2.points is not None
+            return -1 if (a and not b) else (1 if (b and not a) else 0)
+        a1, a2 = abs(r1.area()), abs(r2.area())
+        return -1 if a1 > a2 else (1 if a2 > a1 else 0)
+
+    return sorted(rings, key=functools.cmp_to_key(comp))
+
+
+def sort_rings_smallest_to_largest(mgr):
+    rings = list(mgr.rings)
+    import functools
+
+    def comp(r1, r2):
+        if r1.points is None or r2.points is None:
+            a = r1.points is not None
+            b = r2.points is not None
+            return -1 if (a and not b) else (1 if (b and not a) else 0)
+        a1, a2 = abs(r1.area()), abs(r2.area())
+        return -1 if a1 < a2 else (1 if a2 < a1 else 0)
+
+    return sorted(rings, key=functools.cmp_to_key(comp))
+
+
+def fix_collinear_path(path):
+    """path: [start_1, end_1, start_2, end_2] -> (pt1, pt2)."""
+    start_1, end_1, start_2, end_2 = path
+    spike_left = start_1 is end_2
+    spike_right = start_2 is end_1
+
+    if spike_left and spike_right:
+        itr = start_1
+        while itr is not None:
+            itr.prev.next = None
+            itr.prev = None
+            itr.ring = None
+            itr = itr.next
+        return (None, None)
+    elif spike_left:
+        prev = start_2.prev
+        itr = start_2
+        while itr is not end_1:
+            itr.prev.next = None
+            itr.prev = None
+            itr.ring = None
+            itr = itr.next
+        prev.next = end_1
+        end_1.prev = prev
+        return (end_1, None)
+    elif spike_right:
+        prev = start_1.prev
+        itr = start_1
+        while itr is not end_2:
+            itr.prev.next = None
+            itr.prev = None
+            itr.ring = None
+            itr = itr.next
+        prev.next = end_2
+        end_2.prev = prev
+        return (end_2, None)
+    else:
+        prev_1 = start_1.prev
+        prev_2 = start_2.prev
+        itr = start_1
+        while True:
+            itr.prev.next = None
+            itr.prev = None
+            itr.ring = None
+            itr = itr.next
+            if itr is end_1 or itr is None:
+                break
+        itr = start_2
+        while True:
+            itr.prev.next = None
+            itr.prev = None
+            itr.ring = None
+            itr = itr.next
+            if itr is end_2 or itr is None:
+                break
+        if start_1 is end_1 and start_2 is end_2:
+            return (None, None)
+        elif start_1 is end_1:
+            prev_2.next = end_2
+            end_2.prev = prev_2
+            return (end_2, None)
+        elif start_2 is end_2:
+            prev_1.next = end_1
+            end_1.prev = prev_1
+            return (end_1, None)
+        else:
+            prev_1.next = end_2
+            end_2.prev = prev_1
+            prev_2.next = end_1
+            end_1.prev = prev_2
+            return (end_1, end_2)
+
+
+def find_start_and_end_of_collinear_edges(pt_a, pt_b):
+    same_ring = pt_a.ring is pt_b.ring
+    back = pt_a
+    forward = pt_b
+    first = True
+    while True:
+        while pt_eq(back.prev, back) and back is not forward:
+            back = back.prev
+            if back is pt_a:
+                break
+        if back is forward:
+            back = back.prev
+            forward = forward.next
+            break
+        while pt_eq(forward.next, forward) and back is not forward:
+            forward = forward.next
+            if forward is pt_b:
+                break
+        if not first and (back is pt_a or forward is pt_b):
+            break
+        if back is forward:
+            back = back.prev
+            forward = forward.next
+            break
+        back = back.prev
+        forward = forward.next
+        first = False
+        if not pt_eq(back, forward):
+            break
+    start_a = back.next
+    while (not same_ring) and pt_eq(start_a, start_a.next) and start_a is not pt_a:
+        start_a = start_a.next
+    end_b = forward.prev
+    while (not same_ring) and pt_eq(end_b, end_b.prev) and end_b is not pt_b:
+        end_b = end_b.prev
+
+    back = pt_b
+    forward = pt_a
+    first = True
+    while True:
+        while pt_eq(back.prev, back) and back is not forward:
+            back = back.prev
+            if back is pt_b:
+                break
+        if back is forward:
+            back = back.prev
+            forward = forward.next
+            break
+        while pt_eq(forward.next, forward) and back is not forward:
+            forward = forward.next
+            if forward is pt_a:
+                break
+        if not first and (back is pt_b or forward is pt_a):
+            break
+        if back is forward or (not first and (back is end_b or forward is start_a)):
+            back = back.prev
+            forward = forward.next
+            break
+        back = back.prev
+        forward = forward.next
+        first = False
+        if not pt_eq(back, forward):
+            break
+    start_b = back.next
+    while (not same_ring) and pt_eq(start_b, start_b.next) and start_b is not pt_b:
+        start_b = start_b.next
+    end_a = forward.prev
+    while (not same_ring) and pt_eq(end_a, end_a.prev) and end_a is not pt_a:
+        end_a = end_a.prev
+    return [start_a, end_a, start_b, end_b]
+
+
+def has_collinear_edge(pt_a, pt_b) -> bool:
+    return pt_eq(pt_a.next, pt_b.prev) or pt_eq(pt_b.next, pt_a.prev)
+
+
+def process_collinear_edges_same_ring(pt_a, pt_b, mgr):
+    original_ring = pt_a.ring
+    path = find_start_and_end_of_collinear_edges(pt_a, pt_b)
+    results = fix_collinear_path(path)
+    if results[0] is None:
+        remove_ring(original_ring, mgr, False)
+    elif results[1] is None:
+        original_ring.points = results[0]
+        original_ring.recalculate_stats()
+    else:
+        ring_new = create_new_ring(mgr)
+        ring_new.points = results[1]
+        ring_new.recalculate_stats()
+        update_points_ring(ring_new)
+        original_ring.points = results[0]
+        original_ring.recalculate_stats()
+
+
+def process_collinear_edges_different_rings(pt_a, pt_b, mgr):
+    ring_a = pt_a.ring
+    ring_b = pt_b.ring
+    ring_a_larger = abs(ring_a.area()) > abs(ring_b.area())
+    path = find_start_and_end_of_collinear_edges(pt_a, pt_b)
+    results = fix_collinear_path(path)
+    if results[0] is None:
+        remove_ring(ring_a, mgr, False)
+        remove_ring(ring_b, mgr, False)
+        return
+    merged_ring = ring_a if ring_a_larger else ring_b
+    deleted_ring = ring_b if ring_a_larger else ring_a
+    merged_ring.points = results[0]
+    update_points_ring(merged_ring)
+    merged_ring.recalculate_stats()
+    if merged_ring.size() < 3:
+        remove_ring_and_points(merged_ring, mgr, False)
+    remove_ring(deleted_ring, mgr, False)
+
+
+def remove_duplicate_points(pt_a, pt_b, mgr) -> bool:
+    if pt_a.ring is pt_b.ring:
+        if pt_a.next is pt_b:
+            pt_a.next = pt_b.next
+            pt_a.next.prev = pt_a
+            pt_b.next = None
+            pt_b.prev = None
+            pt_b.ring = None
+            if pt_a.ring.points is pt_b:
+                pt_a.ring.points = pt_a
+            return True
+        elif pt_b.next is pt_a:
+            pt_a.prev = pt_b.prev
+            pt_a.prev.next = pt_a
+            pt_b.next = None
+            pt_b.prev = None
+            pt_b.ring = None
+            if pt_a.ring.points is pt_b:
+                pt_a.ring.points = pt_a
+            return True
+    while pt_eq(pt_a.next, pt_a) and pt_a.next is not pt_a:
+        remove = pt_a.next
+        pt_a.next = remove.next
+        pt_a.next.prev = pt_a
+        remove.next = None
+        remove.prev = None
+        remove.ring = None
+        if pt_a.ring.points is remove:
+            pt_a.ring.points = pt_a
+    while pt_eq(pt_a.prev, pt_a) and pt_a.prev is not pt_a:
+        remove = pt_a.prev
+        pt_a.prev = remove.prev
+        pt_a.prev.next = pt_a
+        remove.next = None
+        remove.prev = None
+        remove.ring = None
+        if pt_a.ring.points is remove:
+            pt_a.ring.points = pt_a
+    if pt_a.next is pt_a:
+        remove_ring_and_points(pt_a.ring, mgr, False)
+        return True
+    if pt_b.ring is None:
+        return True
+    while pt_eq(pt_b.next, pt_b) and pt_b.next is not pt_b:
+        remove = pt_b.next
+        pt_b.next = remove.next
+        pt_b.next.prev = pt_b
+        remove.next = None
+        remove.prev = None
+        remove.ring = None
+        if pt_b.ring.points is remove:
+            pt_b.ring.points = pt_b
+    while pt_eq(pt_b.prev, pt_b) and pt_b.prev is not pt_b:
+        remove = pt_b.prev
+        pt_b.prev = remove.prev
+        pt_b.prev.next = pt_b
+        remove.next = None
+        remove.prev = None
+        remove.ring = None
+        if pt_b.ring.points is remove:
+            pt_b.ring.points = pt_b
+    if pt_b.next is pt_b:
+        remove_ring_and_points(pt_b.ring, mgr, False)
+        return True
+    if pt_a.ring is None:
+        return True
+    return False
+
+
+def process_collinear_edges(pt_a, pt_b, mgr) -> bool:
+    if pt_a.ring is None or pt_b.ring is None:
+        return False
+    if remove_duplicate_points(pt_a, pt_b, mgr):
+        return True
+    if not has_collinear_edge(pt_a, pt_b):
+        if pt_a.ring is pt_b.ring:
+            correct_self_intersection(pt_a, pt_b, mgr)
+            return True
+        return False
+    if pt_a.ring is pt_b.ring:
+        process_collinear_edges_same_ring(pt_a, pt_b, mgr)
+    else:
+        process_collinear_edges_different_rings(pt_a, pt_b, mgr)
+    return True
+
+
+def correct_collinear_repeats(mgr, pts, begin, end):
+    for i1 in range(begin, end):
+        if pts[i1].ring is None:
+            continue
+        i2 = begin
+        while i2 < end:
+            if pts[i1].ring is None:
+                break
+            if pts[i2].ring is None or i2 == i1:
+                i2 += 1
+                continue
+            if process_collinear_edges(pts[i1], pts[i2], mgr):
+                i2 = begin
+            else:
+                i2 += 1
+
+
+def correct_collinear_edges(mgr):
+    if len(mgr.all_points) < 2:
+        return
+    pts = mgr.all_points
+    n = len(pts)
+    count = 0
+    prev_itr = 0
+    itr = 1
+    while itr < n:
+        if pt_eq(pts[prev_itr], pts[itr]):
+            count += 1
+            prev_itr += 1
+            itr += 1
+            if itr < n:
+                continue
+            else:
+                prev_itr += 1
+        else:
+            prev_itr += 1
+            itr += 1
+        if count == 0:
+            continue
+        first = prev_itr - (count + 1)
+        correct_collinear_repeats(mgr, pts, first, prev_itr)
+        count = 0
+
+
+def correct_tree(mgr):
+    sorted_rings = sort_rings_largest_to_smallest(mgr)
+    for i, r in enumerate(sorted_rings):
+        if r.points is None:
+            continue
+        if r.size() < 3 or value_is_zero(r.area()):
+            remove_ring_and_points(r, mgr, False)
+            continue
+        r.corrected = True
+        found = False
+        for j in range(i - 1, -1, -1):
+            rr = sorted_rings[j]
+            if rr.is_hole() == r.is_hole():
+                continue
+            if poly2_contains_poly1(r, rr):
+                reassign_as_child(r, rr, mgr)
+                found = True
+                break
+        if not found:
+            if r.is_hole():
+                raise RuntimeError("Could not properly place hole to a parent.")
+            reassign_as_child(r, None, mgr)
+
+
+def correct_self_intersections(mgr, correct_tree_flag) -> bool:
+    fixed = False
+    for r in sort_rings_smallest_to_largest(mgr):
+        if correct_ring_self_intersections(mgr, r, correct_tree_flag):
+            fixed = True
+    return fixed
+
+
+def correct_topology(mgr):
+    mgr.all_points.sort(key=lambda p: (-p.y, p.x, -ring_depth(p.ring)))
+    correct_orientations(mgr)
+    correct_collinear_edges(mgr)
+    correct_self_intersections(mgr, False)
+    correct_tree(mgr)
+    fixed = True
+    while fixed:
+        correct_chained_rings(mgr)
+        fixed = correct_self_intersections(mgr, True)
+
+
+# ---------------------------------------------------------------------------
+# build_result.hpp + clean_or_clip_poly glue (geometry.cpp:180-325)
+
+
+def _push_ring(poly, r, reverse_output):
+    lr = []
+    first_pt = r.points
+    pt = r.points
+    if reverse_output:
+        while True:
+            lr.append((pt.x, pt.y))
+            pt = pt.next
+            if pt is first_pt:
+                break
+    else:
+        while True:
+            lr.append((pt.x, pt.y))
+            pt = pt.prev
+            if pt is first_pt:
+                break
+    lr.append((first_pt.x, first_pt.y))
+    poly.append(lr)
+
+
+def build_result_polygons(solution, rings, reverse_output):
+    for r in rings:
+        if r is None:
+            continue
+        poly = []
+        _push_ring(poly, r, reverse_output)
+        for c in r.children:
+            if c is None:
+                continue
+            _push_ring(poly, c, reverse_output)
+        solution.append(poly)
+        for c in r.children:
+            if c is None:
+                continue
+            if any(gc is not None for gc in c.children):
+                build_result_polygons(solution, c.children, reverse_output)
+
+
+def execute_union_positive(paths):
+    """wagyu.execute(clip_type_union, fill_type_positive x2) over subject
+    rings; returns multi_polygon as list[list[ring points]]."""
+    minima_list = []
+    any_ring = False
+    for p in paths:
+        if add_linear_ring(p, minima_list, PT_SUBJECT):
+            any_ring = True
+    if not any_ring or not minima_list:
+        return []
+    mgr = RingManager()
+    build_hot_pixels(minima_list, mgr)
+    execute_vatti(minima_list, mgr, CLIP_UNION, FT_POSITIVE, FT_POSITIVE)
+    correct_topology(mgr)
+    solution = []
+    build_result_polygons(solution, mgr.children, False)
+    return solution
+
+
+def _ring_area(ring) -> float:
+    area = 0.0
+    n = len(ring)
+    for k in range(n):
+        nk = (k + 1) % n
+        area += float(ring[k][0]) * float(ring[nk][1])
+        area -= float(ring[k][1]) * float(ring[nk][0])
+    return area / 2
+
+
+def clean_poly(ops, xs, ys):
+    """clean_or_clip_poly(geom, z, buffer, clip=false)
+    (geometry.cpp:223-325): remove_noop, rings of >= 4 drawn points,
+    union with positive fill, decode_clipped ordering + sign asserts."""
+    import numpy as np
+
+    from . import geomops as g
+
+    ops, xs, ys = g.remove_noop(ops, xs, ys, g.VT_POLYGON, 0)
+    paths = []
+    i = 0
+    n = len(ops)
+    while i < n:
+        if ops[i] == g.OP_MOVETO:
+            j = i + 1
+            while j < n and ops[j] == g.OP_LINETO:
+                j += 1
+            if j >= i + 4:
+                paths.append([(int(xs[k]), int(ys[k])) for k in range(i, j)])
+            i = j - 1
+        i += 1
+    result = execute_union_positive(paths)
+    out_ops, out_xs, out_ys = [], [], []
+    for poly in result:
+        for j, ring in enumerate(poly):
+            ring = list(ring)
+            if ring and ring[-1] != ring[0]:
+                ring.append(ring[0])
+            area = _ring_area(ring[:-1]) if len(ring) > 1 else 0.0
+            if (j == 0 and area < 0) or (j != 0 and area > 0):
+                raise RuntimeError(f"Ring area has wrong sign: {area} for {j}")
+            for k, (x, y) in enumerate(ring):
+                out_ops.append(g.OP_MOVETO if k == 0 else g.OP_LINETO)
+                out_xs.append(x)
+                out_ys.append(y)
+    return (
+        np.asarray(out_ops, dtype=np.uint8),
+        np.asarray(out_xs, dtype=np.int64),
+        np.asarray(out_ys, dtype=np.int64),
+    )

@@ -87,6 +87,46 @@ def feature_records_path(path: str, cfg: TileConfig, layer: str | None = None,
     return feature_records(read_file_text(path), layer, cfg, seq_start)
 
 
+def geojson_files_df(spark, paths, cfg: TileConfig, layer: str | None = None):
+    """Distributed GeoJSON file source: one task per input file, the
+    reference's multi-source layout (main.cpp:1255-1298 names one layer
+    per file; within-file parallel parsing is an optimization the
+    cascade's later repartition makes unnecessary here).  gzip is
+    sniffed per file (read_file_text).
+
+    seq is (file_index << 40) + in-file sequence: only the RELATIVE seq
+    order is observable (fmz rank tie-breaks, --preserve-input-order
+    sorting), so the per-file offset preserves global input order
+    without a cross-file count pass — the property a 1000-file 100 TB
+    ingest needs, since a sequential prefix-count over files would
+    serialize the read.
+
+    Returns a DataFrame in the cascade schema (pipeline.build_tiles
+    input)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"path": list(paths), "fidx": range(len(paths))}))
+    files = files.repartition(max(len(paths), 1), "path")
+
+    def parse(it):
+        from ..pipeline import features_to_pdf
+
+        for b in it:
+            for r in b.itertuples(index=False):
+                lname = layer if layer is not None else layer_name_from_path(r.path)
+                feats = feature_records(read_file_text(r.path), lname, cfg,
+                                        seq_start=int(r.fidx) << 40)
+                if feats:
+                    yield features_to_pdf(feats)
+
+    from ..pipeline import FEATURE_SCHEMA_DDL
+
+    return files.mapInPandas(parse, schema=FEATURE_SCHEMA_DDL)
+
+
 class RawNumber(str):
     """JSON number with its source text preserved (jsonpull keeps both
     the text and the parsed double; we subclass str for the text and

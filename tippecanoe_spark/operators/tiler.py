@@ -945,10 +945,11 @@ def _reorder_lines(ops, xs, ys, cfg):
 
 def _clean_poly(ops, xs, ys):
     """clean_or_clip_poly (wagyu snap-round union, geometry.cpp:223-325):
-    planar snap-round union with positive fill — overlapping and
-    self-intersecting rings are resolved, spikes cancel, collinear
-    vertices drop (core.polyclean)."""
-    from ..core.polyclean import clean_poly as _union
+    snap-round union with positive fill via the sweep-faithful wagyu
+    port (core.wagyu) — byte-exact ring anchors and crossing placement.
+    core.polyclean keeps the original arrangement-based union as the
+    independent cross-check (tests/test_polyclean.py)."""
+    from ..core.wagyu import clean_poly as _union
 
     return _union(ops, xs, ys)
 
