@@ -105,6 +105,46 @@ def test_geojson_files_source(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_geojson_files_source_reference_parity(spark, tmp_path):
+    """Multi-source parity against the reference BINARY: two input
+    files (one gzipped) build byte-identically to
+    `tippecanoe f1.json f2.json.gz` — one layer per file, global input
+    order preserved across files (main.cpp:1255-1298)."""
+    import gzip
+    import shutil
+    import subprocess
+
+    from .conftest import REFBIN, requires_reference  # noqa: F401
+    import os
+    import pytest
+
+    if not os.path.exists(REFBIN):
+        pytest.skip("reference binary not built")
+
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.geojson import geojson_files_df
+    from tippecanoe_spark.io.mbtiles import read_mbtiles
+    from tippecanoe_spark.pipeline import build_tiles
+
+    src = "/root/reference/tests/muni/muni.json"
+    raw = open(src, "rb").read()
+    p1 = tmp_path / "alpha.json"
+    p1.write_bytes(raw)
+    p2 = tmp_path / "beta.json.gz"
+    p2.write_bytes(gzip.compress(raw))
+
+    out = tmp_path / "ref.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-z5", "-o", str(out),
+                    str(p1), str(p2)], check=True, capture_output=True)
+    ref = read_mbtiles(str(out))
+
+    cfg = TileConfig(maxzoom=5)
+    df = geojson_files_df(spark, [str(p1), str(p2)], cfg)
+    ours = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+            for r in build_tiles(spark, df, cfg).collect()}
+    assert ref == ours
+
+
 def test_spark_shrink_modes_match_local(spark):
     """The witness-lemma shrink (operators.tiler.shrink_dropped_pdf) is
     active for as-needed/accumulate configs on the Spark path; output

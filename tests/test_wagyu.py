@@ -109,6 +109,56 @@ def test_wagyu_degenerate_grids_byte_exact():
 
 
 @requires_probe
+def test_wagyu_fast_path_simple_rings_byte_exact():
+    """The single-simple-ring fast path (polyclean._fast_single_ring
+    gate inside wagyu.clean_poly) must stay byte-exact vs the probe, and
+    must actually FIRE on this class (else the test is vacuous)."""
+    import math
+
+    import tippecanoe_spark.core.wagyu as W
+    from tippecanoe_spark.core import polyclean
+
+    rng = random.Random(2026)
+    cases = []
+    for _ in range(120):  # near-convex, jittered
+        n = rng.randint(4, 20)
+        cx, cy = rng.randint(100, 4000), rng.randint(100, 4000)
+        r = rng.randint(20, 900)
+        ring = []
+        for k in range(n):
+            a = 2 * math.pi * k / n
+            ring.append((cx + int(r * math.cos(a)) + rng.randint(-15, 15),
+                         cy + int(r * math.sin(a)) + rng.randint(-15, 15)))
+        cases.append([ring])
+    for _ in range(60):  # axis-aligned boxes with collinear border points
+        x0, y0 = rng.randint(0, 3000), rng.randint(0, 3000)
+        w, h = rng.randint(4, 900), rng.randint(4, 900)
+        ring = [(x0, y0), (x0 + w // 2, y0), (x0 + w, y0),
+                (x0 + w, y0 + h), (x0, y0 + h)]
+        if rng.random() < 0.5:
+            ring = list(reversed(ring))  # CW: positive fill drops it
+        cases.append([ring])
+
+    fired = 0
+    orig = polyclean._fast_single_ring
+
+    def counting(pts):
+        nonlocal fired
+        res = orig(pts)
+        if res is not None:
+            fired += 1
+        return res
+
+    W_mod = sys.modules["tippecanoe_spark.core.polyclean"]
+    W_mod._fast_single_ring, saved = counting, orig
+    try:
+        _check(cases)
+    finally:
+        W_mod._fast_single_ring = saved
+    assert fired >= len(cases) // 2, f"fast path fired only {fired}/{len(cases)}"
+
+
+@requires_probe
 def test_wagyu_huge_coordinates_byte_exact():
     rng = random.Random(31)
     cases = []

@@ -72,11 +72,74 @@ def get_mp_area(op, x, y) -> float:
     return float(sum(get_area(x, y, i, j) for i, j in _rings(op)))
 
 
+def _remove_noop_scalar(op, x, y, t: int, shift: int):
+    """Scalar remove_noop for short geometries — same three passes as
+    the vectorized body (geometry.cpp:95-160), list-based."""
+    ol = op.tolist()
+    xl = x.tolist()
+    yl = y.tolist()
+
+    # pass 1: remove empty linetos
+    o1, x1, y1 = [], [], []
+    px = py = 0
+    have = False
+    for o, xi, yi in zip(ol, xl, yl):
+        if o == OP_LINETO and have and (xi >> shift) == px and (yi >> shift) == py:
+            continue
+        if o != OP_CLOSEPATH:
+            px, py = xi >> shift, yi >> shift
+            have = True
+        o1.append(o)
+        x1.append(xi)
+        y1.append(yi)
+
+    # pass 2: remove unused movetos
+    if t != VT_POINT:
+        o2, x2, y2 = [], [], []
+        n = len(o1)
+        i = 0
+        while i < n:
+            o = o1[i]
+            if o == OP_MOVETO:
+                if i + 1 >= n or o1[i + 1] == OP_MOVETO:
+                    i += 1
+                    continue
+                if o1[i + 1] == OP_CLOSEPATH:
+                    i += 2
+                    continue
+            o2.append(o)
+            x2.append(x1[i])
+            y2.append(y1[i])
+            i += 1
+        o1, x1, y1 = o2, x2, y2
+
+    # pass 3: remove movetos that duplicate the previous lineto endpoint
+    if t == VT_LINE:
+        o3, x3, y3 = [], [], []
+        for i, o in enumerate(o1):
+            if (i > 0 and o == OP_MOVETO and o1[i - 1] == OP_LINETO
+                    and (x1[i] >> shift) == (x1[i - 1] >> shift)
+                    and (y1[i] >> shift) == (y1[i - 1] >> shift)):
+                continue
+            o3.append(o)
+            x3.append(x1[i])
+            y3.append(y1[i])
+        o1, x1, y1 = o3, x3, y3
+
+    return (np.asarray(o1, dtype=np.uint8), np.asarray(x1, dtype=np.int64),
+            np.asarray(y1, dtype=np.int64))
+
+
 def remove_noop(op, x, y, t: int, shift: int = 0):
     """Drop zero-length linetos / dangling movetos — geometry.cpp:95-160."""
     n = len(op)
     if n == 0:
         return op, x, y
+    if n <= 24:
+        # scalar path for short geometries (the dominant case): the
+        # three passes below cost ~10 numpy allocations each, which
+        # dwarfs the work for a handful of points
+        return _remove_noop_scalar(op, x, y, t, shift)
     # pass 1: remove empty linetos.  Vectorized when there are no
     # CLOSEPATH ops (the common case): a LINETO is dropped iff it
     # shift-equals its predecessor; equal-chains compare correctly
@@ -448,7 +511,35 @@ def _douglas_peucker(x, y, necessary, start, n, e, kept, retain):
         first = stack.pop()
         max_distance = -1.0
         farthest = second
-        if second - first > 1:
+        if 1 < second - first <= 17:
+            # scalar loop for short spans (the dominant case once the
+            # stack splits): identical float64 expression order to the
+            # vectorized branch below, without the ~10-numpy-call
+            # overhead per pop
+            ax, ay = float(x[start + first]), float(y[start + first])
+            bx, by = float(x[start + second]), float(y[start + second])
+            p2x = bx - ax
+            p2y = by - ay
+            something = p2x * p2x + p2y * p2y
+            want_all = kept < retain
+            for k in range(first + 1, second):
+                px_ = float(x[start + k])
+                py_ = float(y[start + k])
+                if something == 0:
+                    u = 0.0
+                else:
+                    u = ((px_ - ax) * p2x + (py_ - ay) * p2y) / something
+                    if u < 0.0:
+                        u = 0.0
+                    elif u > 1.0:
+                        u = 1.0
+                dxv = ax + u * p2x - px_
+                dyv = ay + u * p2y - py_
+                d = abs(dxv * dxv + dyv * dyv)
+                if (want_all or d > e) and d > max_distance:
+                    farthest = k
+                    max_distance = d
+        elif second - first > 1:
             # vectorized point-to-segment distances (same float64 ops as
             # the scalar loop; argmax = first occurrence like the
             # reference's strict > comparison)
@@ -523,9 +614,7 @@ def simplify_lines(op, x, y, z, detail, mark_tile_bounds, simplification, retain
     res = 1 << (32 - detail - z)
     area = 1 << (32 - z)
     n = len(op)
-    necessary = np.empty(n, dtype=bool)
-    for i in range(n):
-        necessary[i] = op[i] != OP_LINETO
+    necessary = op != OP_LINETO
     if mark_tile_bounds:
         op, x, y, necessary = impose_tile_boundaries(op, x, y, necessary, area)
         n = len(op)

@@ -21,7 +21,6 @@ from __future__ import annotations
 import math
 import struct
 
-import numpy as _np
 import zlib
 from dataclasses import dataclass, field
 
@@ -53,6 +52,9 @@ INT_MIN = -(1 << 31)
 # ---------- varint / zigzag ----------
 
 def _write_varint(buf: bytearray, v: int) -> None:
+    if 0 <= v < 0x80:  # single-byte fast path (the overwhelming case)
+        buf.append(v)
+        return
     v &= 0xFFFFFFFFFFFFFFFF
     while v > 0x7F:
         buf.append((v & 0x7F) | 0x80)
@@ -175,9 +177,14 @@ def stringified_to_mvt_value(vt: int, s: str) -> MvtValue:
             d = float(s)
         except ValueError:
             d = 0.0
-        # strtof overflow (ERANGE -> HUGE_VALF) falls through to double
-        with _np.errstate(over="ignore"):
-            f = float(_np.float32(d))
+        # strtof overflow (ERANGE -> HUGE_VALF) falls through to double;
+        # struct round-trips through IEEE binary32 exactly like
+        # np.float32 incl. the overflow boundary (verified), without the
+        # errstate context cost
+        try:
+            f = struct.unpack("<f", struct.pack("<f", d))[0]
+        except OverflowError:
+            f = math.inf if d > 0 else -math.inf
         if math.isinf(f) and not math.isinf(d):
             return MvtValue(T_DOUBLE, num=d)
         if f == d:
@@ -279,8 +286,16 @@ def _encode_packed(buf: bytearray, num: int, values) -> None:
         # protozero add_packed_* writes nothing for an empty range
         return
     inner = bytearray()
-    for v in values:
-        _write_varint(inner, v)
+    ap = inner.append
+    for v in values:  # inlined _write_varint (hot: geometry + tags)
+        if 0 <= v < 0x80:
+            ap(v)
+            continue
+        v &= 0xFFFFFFFFFFFFFFFF
+        while v > 0x7F:
+            ap((v & 0x7F) | 0x80)
+            v >>= 7
+        ap(v)
     _field(buf, num, 2)
     _write_varint(buf, len(inner))
     buf += inner

@@ -3162,7 +3162,20 @@ def _ring_area(ring) -> float:
 def clean_poly(ops, xs, ys):
     """clean_or_clip_poly(geom, z, buffer, clip=false)
     (geometry.cpp:223-325): remove_noop, rings of >= 4 drawn points,
-    union with positive fill, decode_clipped ordering + sign asserts."""
+    union with positive fill, decode_clipped ordering + sign asserts.
+
+    Fast path: a SINGLE small ring goes through polyclean's
+    _fast_single_ring gate first — an exact-integer screen for "no
+    self-crossing, no repeated vertex, no hot-pixel reroute", i.e. the
+    class where the snap-round union is the identity up to wagyu's
+    canonicalization (collinear-vertex drop, orientation, min-y ring
+    anchor).  On that class the gate's own emission was byte-exact
+    against the reference in the r2 parity+fuzz suites, and
+    tests/test_wagyu.py fuzzes THIS dispatched entry against the
+    compiled clean_test probe, so the dispatch sits under the byte
+    oracle.  Anything the gate declines (multi-ring, crossings, hot
+    pixels, big rings) pays for the full Vatti sweep, where sweep
+    history is observable in the bytes."""
     import numpy as np
 
     from . import geomops as g
@@ -3180,7 +3193,17 @@ def clean_poly(ops, xs, ys):
                 paths.append([(int(xs[k]), int(ys[k])) for k in range(i, j)])
             i = j - 1
         i += 1
-    result = execute_union_positive(paths)
+    result = None
+    if len(paths) == 1 and len(paths[0]) <= 66:
+        from .polyclean import _fast_single_ring
+
+        pts = list(paths[0])
+        while len(pts) > 1 and pts[-1] == pts[0]:
+            pts.pop()
+        if len(pts) >= 3:
+            result = _fast_single_ring(pts)
+    if result is None:
+        result = execute_union_positive(paths)
     out_ops, out_xs, out_ys = [], [], []
     for poly in result:
         for j, ring in enumerate(poly):

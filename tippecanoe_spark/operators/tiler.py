@@ -78,28 +78,28 @@ def clip_to_tile(ops, xs, ys, t, z, buffer, bbox, no_clipping=False, no_duplicat
     return ops, xs, ys, False
 
 
+def _cdiv(a, b):  # C integer division truncates toward zero
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
 def children_of(bbox_rel, z, nextzoom, buffer):
     """rewrite() child-tile ranges (tile.cpp:253-280): which (xo, yo)
     offsets within the span the feature reaches."""
     span = 1 << (nextzoom - z)
     div = 1 << (32 - nextzoom - 8)
+    lim = 256 * span
+    top = 256 * (span - 1)
 
-    def cdiv(a, b):  # C integer division truncates toward zero
-        q = abs(a) // b
-        return q if a >= 0 else -q
-
-    b2 = [cdiv(int(v), div) for v in bbox_rel]
-    b2[0] -= buffer + 1
-    b2[1] -= buffer + 1
-    b2[2] += buffer
-    b2[3] += buffer
-    for k in range(4):
-        if b2[k] < 0:
-            b2[k] = 0
-        if b2[k] >= 256 * span:
-            b2[k] = 256 * (span - 1)
-        b2[k] //= 256
-    return range(b2[0], b2[2] + 1), range(b2[1], b2[3] + 1)
+    b0 = _cdiv(int(bbox_rel[0]), div) - buffer - 1
+    b1 = _cdiv(int(bbox_rel[1]), div) - buffer - 1
+    b2 = _cdiv(int(bbox_rel[2]), div) + buffer
+    b3 = _cdiv(int(bbox_rel[3]), div) + buffer
+    b0 = 0 if b0 < 0 else (top if b0 >= lim else b0)
+    b1 = 0 if b1 < 0 else (top if b1 >= lim else b1)
+    b2 = 0 if b2 < 0 else (top if b2 >= lim else b2)
+    b3 = 0 if b3 < 0 else (top if b3 >= lim else b3)
+    return range(b0 >> 8, (b2 >> 8) + 1), range(b1 >> 8, (b3 >> 8) + 1)
 
 
 def manage_gap(index, previndex, scale, gamma, gap):
@@ -126,10 +126,21 @@ def manage_gap(index, previndex, scale, gamma, gap):
 
 
 def _geom_rel_bbox(ops, xs, ys):
+    n = len(ops)
+    if n == 0:
+        return None
+    if n == 1:  # single point (the dominant case): no numpy reductions
+        if ops[0] == g.OP_CLOSEPATH:
+            return None
+        x, y = int(xs[0]), int(ys[0])
+        return [x, y, x, y]
     m = ops != g.OP_CLOSEPATH
+    if m.all():
+        return [int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
     if not m.any():
         return None
-    return [int(xs[m].min()), int(ys[m].min()), int(xs[m].max()), int(ys[m].max())]
+    xm, ym = xs[m], ys[m]
+    return [int(xm.min()), int(ym.min()), int(xm.max()), int(ym.max())]
 
 
 def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
