@@ -88,6 +88,19 @@ def q_quadkey(spark, sf_dir):
     return df.selectExpr("event_id", _QK_SPARK + " AS qk62").orderBy("event_id")
 
 
+def q_hex_density(spark, sf_dir):
+    """H3-style hexagonal cell index (north-rule item alongside the
+    quadkey/hilbert quadtree): every event gets a hex cell via the
+    exact-integer two-grid assignment (operators/cellindex.py — planar
+    affine hexagons, not H3's icosahedral cells; documented there), then
+    a per-cell density rollup.  One narrow JVM-side projection + one
+    hash aggregation with map-side partial agg — the same plan shape at
+    10^12 rows."""
+    from tippecanoe_spark.operators.cellindex import hex_density
+
+    return hex_density(_events_xy(spark, sf_dir), res=8)
+
+
 def _qk_expr(x: str, y: str) -> str:
     """62-bit interleave of 31-bit halves (projection.cpp:157-170 layout,
     top bit dropped to stay in signed-bigint range for both engines)."""
@@ -741,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z10": q_tile_assign_z10,
         "quadkey": q_quadkey,
+        "hex_density": q_hex_density,
         "feature_minzoom": q_feature_minzoom,
         "zoom_rollup": q_zoom_rollup,
         "bbox": q_bbox,
@@ -791,6 +805,10 @@ def _duck_xy_cte() -> str:
 
 _QK_DUCK = _qk_expr("x32", "y32")
 
+from tippecanoe_spark.operators.cellindex import hex_cell_sql_duckdb as _hex_duck
+
+_HEXQ_DUCK, _HEXR_DUCK = _hex_duck("x32", "y32", 8)
+
 
 def _ann_lsh_oracle() -> str:
     """DuckDB mirror of q_ann_lsh.  The correctness run is at sf0.01
@@ -809,6 +827,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_z10": xy + " SELECT x32 >> 22 AS tx, y32 >> 22 AS ty, "
         "count(*) AS n FROM exy GROUP BY 1, 2",
         "quadkey": xy + f" SELECT event_id, {_QK_DUCK} AS qk62 FROM exy ORDER BY event_id",
+        "hex_density": xy + f" SELECT {_HEXQ_DUCK} AS hq, {_HEXR_DUCK} AS hr, "
+        "count(*) AS cnt FROM exy GROUP BY 1, 2",
         "feature_minzoom": xy + f", r AS (SELECT event_id, "
         f"row_number() OVER (ORDER BY {_QK_DUCK}, event_id) AS rank FROM exy) "
         f"SELECT {mz} AS minzoom, count(*) AS n FROM r GROUP BY 1",

@@ -31,6 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "tile_assign_z10",
     "quadkey",
+    "hex_density",
     "feature_minzoom",
     "zoom_rollup",
     "center_tile",

@@ -1,0 +1,87 @@
+"""Hexagonal cell index (H3-style density binning) over the 32-bit
+world grid.
+
+The north-rule asks for an H3/S2-style spatial cell index alongside the
+z/x/y quadtree (quadkey/hilbert, core/projection.py, = the S2-style
+quadtree).  This module adds the hexagonal side: every point is
+assigned to a hexagonal cell of an affine hex lattice using EXACT
+integer arithmetic, so the Spark plan and the DuckDB oracle produce
+bit-identical cell ids (no float rounding divergence).
+
+NOT the H3 standard: H3 cells live on an icosahedral gnomonic
+projection with pentagon seams; these are planar (Mercator-square)
+hexagons.  For density indexing / hot-spot joins the topology is the
+same — each cell has 6 neighbors, cells tile the plane — and the ids
+are deterministic integers.
+
+Algorithm (the classic two-staggered-grids hexbin assignment):
+coarse coords h = p >> COARSE_SHIFT; grid A centers at multiples of
+2^res, grid B offset by half a cell in both axes; a point belongs to
+whichever candidate center is closer under d = dx^2 + 3*dy^2 (the
+factor 3 is what makes the decision boundary hexagonal; ties go to
+grid A).  The cell id is axial (doubled-q, row):
+    hq = 2*ix (grid A)  |  2*ix + 1 (grid B),    hr = iy.
+All arithmetic is integer adds/shifts/multiplies on nonnegative
+operands — identical in Spark SQL and DuckDB.
+
+Scale notes: the assignment is a narrow projection (no shuffle); the
+density rollup is one hash aggregation with map-side partial
+aggregation, the same shape at 10^12 rows as at 10^5.
+"""
+
+from __future__ import annotations
+
+COARSE_SHIFT = 16  # 32-bit world grid -> 16-bit coarse grid
+
+
+def _exprs(xcol: str, ycol: str, res: int):
+    """Shared integer expression strings (valid Spark SQL and DuckDB
+    SQL: only +, -, *, DIV-free shifts via repeated halving are avoided
+    by using the engines' floor division on NONNEGATIVE operands)."""
+    cell = 1 << res
+    half = cell >> 1
+    hx = f"({xcol} DIV {1 << COARSE_SHIFT})"
+    hy = f"({ycol} DIV {1 << COARSE_SHIFT})"
+    ix1 = f"(({hx} + {half}) DIV {cell})"
+    iy1 = f"(({hy} + {half}) DIV {cell})"
+    ix2 = f"({hx} DIV {cell})"
+    iy2 = f"({hy} DIV {cell})"
+    r1x = f"({hx} - {ix1} * {cell})"
+    r1y = f"({hy} - {iy1} * {cell})"
+    r2x = f"({hx} - {ix2} * {cell} - {half})"
+    r2y = f"({hy} - {iy2} * {cell} - {half})"
+    d1 = f"({r1x} * {r1x} + 3 * {r1y} * {r1y})"
+    d2 = f"({r2x} * {r2x} + 3 * {r2y} * {r2y})"
+    hq = f"(CASE WHEN {d1} <= {d2} THEN 2 * {ix1} ELSE 2 * {ix2} + 1 END)"
+    hr = f"(CASE WHEN {d1} <= {d2} THEN {iy1} ELSE {iy2} END)"
+    return hq, hr
+
+
+def hex_cell_sql(xcol: str, ycol: str, res: int = 8):
+    """(hq_sql, hr_sql) expression strings for the hex cell id of
+    integer point columns, in Spark SQL spelling (`DIV`); use
+    hex_cell_sql_duckdb for the DuckDB spelling (`//`)."""
+    return _exprs(xcol, ycol, res)
+
+
+def hex_cell_sql_duckdb(xcol: str, ycol: str, res: int = 8):
+    """Same expressions with DuckDB's // integer-division spelling."""
+    hq, hr = _exprs(xcol, ycol, res)
+    return hq.replace(" DIV ", " // "), hr.replace(" DIV ", " // ")
+
+
+def hex_bin(df, xcol: str = "x32", ycol: str = "y32", res: int = 8,
+            extra: tuple = ()):
+    """Assign every row a hex cell (hq, hr) — a narrow projection, all
+    JVM-side integer arithmetic (no UDF, no shuffle)."""
+    hq, hr = hex_cell_sql(xcol, ycol, res)
+    return df.selectExpr(*extra, f"{hq} AS hq", f"{hr} AS hr")
+
+
+def hex_density(df, xcol: str = "x32", ycol: str = "y32", res: int = 8):
+    """Per-hex-cell density rollup: one hash aggregation (map-side
+    partial agg applies).  Returns (hq, hr, cnt) rows."""
+    from pyspark.sql import functions as F
+
+    return (hex_bin(df, xcol, ycol, res)
+            .groupBy("hq", "hr").agg(F.count("*").alias("cnt")))
