@@ -1,0 +1,134 @@
+"""The drop-in CLI (python -m tippecanoe_spark): same flag syntax as
+the reference binary, byte-identical tilesets through both the local
+runner and the Spark path, plus tile-join and decode subcommands."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from .conftest import REFBIN, REPO
+
+TJBIN = os.path.join(REPO, ".refbuild", "tile-join")
+REF_TESTS = "/root/reference/tests"
+
+requires_reference = pytest.mark.skipif(
+    not os.path.exists(REFBIN), reason="reference binary not built")
+requires_tilejoin = pytest.mark.skipif(
+    not os.path.exists(TJBIN), reason="tile-join binary not built")
+
+
+def _read(path):
+    from tippecanoe_spark.io.mbtiles import read_mbtiles
+
+    return read_mbtiles(path)
+
+
+@requires_reference
+def test_cli_build_local_matches_reference(tmp_path):
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-z5", "-o", str(ref_out), src],
+                   check=True, capture_output=True)
+    rc = main(["-q", "-f", "-z5", "--local-runner",
+               "-o", str(our_out), src])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+
+
+@requires_reference
+def test_cli_build_spark_multifile_matches_reference(tmp_path):
+    """Spark path, two inputs (one gzipped), tippecanoe flag spellings
+    incl. an attached-value option (-z4) and a drop mode."""
+    from tippecanoe_spark.cli import main
+
+    raw = open(f"{REF_TESTS}/muni/muni.json", "rb").read()
+    p1 = tmp_path / "alpha.json"
+    p1.write_bytes(raw)
+    p2 = tmp_path / "beta.json.gz"
+    p2.write_bytes(gzip.compress(raw))
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-z4", "-o", str(ref_out),
+                    str(p1), str(p2)], check=True, capture_output=True)
+    rc = main(["-q", "-f", "-z4", "--spark-master", "local[4]",
+               "-o", str(our_out), str(p1), str(p2)])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+
+    # metadata fields the reference also derives
+    import sqlite3
+
+    ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
+        "select name, value from metadata"))
+    our_meta = dict(sqlite3.connect(str(our_out)).execute(
+        "select name, value from metadata"))
+    for k in ("minzoom", "maxzoom", "bounds", "center", "format", "json"):
+        assert our_meta[k] == ref_meta[k], (k, ref_meta[k], our_meta[k])
+
+
+@requires_reference
+@requires_tilejoin
+def test_cli_join_csv_matches_reference(tmp_path):
+    from tippecanoe_spark.cli import main
+
+    feats = []
+    for i, g in enumerate(["muni", "other", "n3", "nomatch"]):
+        feats.append(json.dumps({
+            "type": "Feature",
+            "properties": {"GEOID": g, "orig": i},
+            "geometry": {"type": "Point", "coordinates": [i * 3, i * 2]},
+        }))
+    src = tmp_path / "in.json"
+    src.write_text("\n".join(feats))
+    csv_path = tmp_path / "join.csv"
+    csv_path.write_text('GEOID,population\n"muni",12345\nother, 77 \n')
+
+    base = tmp_path / "base.mbtiles"
+    rc = main(["-q", "-f", "-z4", "--local-runner", "-l", "in",
+               "-o", str(base), str(src)])
+    assert rc == 0
+
+    ref_out = tmp_path / "refjoin.mbtiles"
+    subprocess.run([TJBIN, "-q", "-f", "-o", str(ref_out),
+                    "-c", str(csv_path), str(base)],
+                   check=True, capture_output=True)
+    our_out = tmp_path / "ourjoin.mbtiles"
+    rc = main(["join", "-f", "-o", str(our_out), "-c", str(csv_path),
+               str(base)])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+
+
+@requires_reference
+def test_cli_decode_smoke(tmp_path, capsys):
+    from tippecanoe_spark.cli import main
+
+    out = tmp_path / "t.mbtiles"
+    rc = main(["-q", "-f", "-z3", "--local-runner", "-o", str(out),
+               f"{REF_TESTS}/muni/muni.json"])
+    assert rc == 0
+    rc = main(["decode", str(out)])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out)
+    n = sum(len(t["features"]) for t in got["features"])
+    assert got["type"] == "FeatureCollection" and n > 0
+
+
+def test_cli_errors():
+    from tippecanoe_spark.cli import main
+
+    assert main([]) == 2  # no inputs
+    assert main(["in.json"]) == 2  # no output
+    with pytest.raises(ValueError):
+        main(["-o", "/tmp/x.mbtiles", "--definitely-not-an-option", "in.json"])

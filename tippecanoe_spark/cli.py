@@ -1,0 +1,531 @@
+"""tippecanoe-compatible command line on Spark.
+
+`python -m tippecanoe_spark [options] in1.json in2.json.gz ...`
+accepts the reference's flag syntax (main.cpp option table) for every
+option the engine supports, so a reference user can switch binaries
+without rewriting their invocations:
+
+    python -m tippecanoe_spark -o out.mbtiles -z9 \
+        --drop-densest-as-needed roads.json buildings.json.gz
+
+Subcommands:
+    (default)  build a tileset (tippecanoe)
+    decode     print tiles as GeoJSON-ish JSON (tippecanoe-decode; a
+               readable dump, not byte-identical to the reference
+               decoder's formatting)
+    join       tile-join: CSV attribute join / tileset merge
+
+Execution: the default path is the distributed Spark pipeline
+(io.geojson.geojson_files_df -> pipeline.build_tiles) on
+local[*] unless --spark-master says otherwise; --local-runner uses the
+single-process cascade (pipeline.build_tiles_local), which is also the
+automatic fallback when a guess flag (-zg / -Bg / -rg) needs the
+global in-memory scan the reference performs (main.cpp:1933-2240).
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import sys
+
+
+def options_to_config(options, maxzoom_default: int = 14):
+    """Map tippecanoe CLI options to TileConfig.  `options` is a string
+    (shlex-split) or a pre-split token list.  Unknown options raise
+    ValueError naming the option, like the reference's getopt loop."""
+    from .config import TileConfig
+
+    cfg = TileConfig(maxzoom=maxzoom_default)
+    explicit_basezoom = False
+    toks = shlex.split(options) if isinstance(options, str) else list(options)
+    i = 0
+    long_flags = {
+        "--drop-densest-as-needed": "drop_densest",
+        "--drop-smallest-as-needed": "drop_smallest",
+        "--drop-fraction-as-needed": "drop_fraction",
+        "--coalesce-densest-as-needed": "coalesce_densest",
+        "--coalesce-smallest-as-needed": "coalesce_smallest",
+        "--coalesce-fraction-as-needed": "coalesce_fraction",
+        "--cluster-densest-as-needed": "cluster_densest",
+        "--increase-gamma-as-needed": "increase_gamma",
+        "--drop-lines": "drop_lines",
+        "--drop-polygons": "drop_polygons",
+        "--calculate-feature-density": "calculate_feature_density",
+        "--detect-shared-borders": "detect_shared_borders",
+        "--extend-zooms-if-still-dropping": "extend_zooms",
+        "--grid-low-zooms": "grid_low_zooms",
+        "--detect-longitude-wraparound": "detect_wraparound",
+        "--generate-ids": "generate_ids",
+        "--convert-stringified-ids-to-numbers": "convert_stringified_ids",
+        "--no-tiny-polygon-reduction": "no_tiny_polygon_reduction",
+        "--no-line-simplification": "no_simplification",
+        "--no-feature-limit": "no_feature_limit",
+        "--no-tile-size-limit": "no_tile_size_limit",
+        "--no-tile-compression": "no_tile_compression",
+        "--no-clipping": "no_clipping",
+        "--no-duplication": "no_duplication",
+        "--preserve-input-order": "no_input_order",
+        "--reorder": "reorder",
+        "--reverse": "reverse",
+        "--coalesce": "coalesce",
+        "--hilbert": "use_hilbert",
+        "--use-source-polygon-winding": "use_source_polygon_winding",
+        "--reverse-source-polygon-winding": "reverse_source_polygon_winding",
+    }
+    while i < len(toks):
+        t = toks[i]
+        if t == "-zg":
+            cfg.maxzoom = 24
+            cfg.guess_maxzoom_flag = True
+            i += 1
+            continue
+        if t == "-Bg":
+            cfg.basezoom = -2
+            explicit_basezoom = True
+            i += 1
+            continue
+        if t == "-rg":
+            cfg.droprate = -2.0
+            i += 1
+            continue
+        if t == "-z" or t.startswith("-z") and t[2:].isdigit():
+            cfg.maxzoom = int(toks[i + 1]) if t == "-z" else int(t[2:])
+            i += 2 if t == "-z" else 1
+            continue
+        if t == "-Z" or (t.startswith("-Z") and t[2:].isdigit()):
+            cfg.minzoom = int(toks[i + 1]) if t == "-Z" else int(t[2:])
+            i += 2 if t == "-Z" else 1
+            continue
+        if t == "-B" or (t.startswith("-B") and t[2:].replace(".", "").isdigit()):
+            cfg.basezoom = int(float(toks[i + 1])) if t == "-B" else int(float(t[2:]))
+            explicit_basezoom = True
+            i += 2 if t == "-B" else 1
+            continue
+        if t == "-r" or (t.startswith("-r") and t[2:].replace(".", "").isdigit()):
+            cfg.droprate = float(toks[i + 1]) if t == "-r" else float(t[2:])
+            i += 2 if t == "-r" else 1
+            continue
+        if t == "-g" or (t.startswith("-g") and t[2:].replace(".", "").isdigit()):
+            cfg.gamma = float(toks[i + 1]) if t == "-g" else float(t[2:])
+            i += 2 if t == "-g" else 1
+            continue
+        if t == "-b" or (t.startswith("-b") and t[2:].isdigit()):
+            cfg.buffer = int(toks[i + 1]) if t == "-b" else int(t[2:])
+            i += 2 if t == "-b" else 1
+            continue
+        if t == "-d" or (t.startswith("-d") and t[2:].isdigit()):
+            cfg.full_detail = int(toks[i + 1]) if t == "-d" else int(t[2:])
+            i += 2 if t == "-d" else 1
+            continue
+        if t == "-D" or (t.startswith("-D") and t[2:].isdigit()):
+            cfg.low_detail = int(toks[i + 1]) if t == "-D" else int(t[2:])
+            i += 2 if t == "-D" else 1
+            continue
+        if t == "-M" or (t.startswith("-M") and t[2:].isdigit()):
+            cfg.max_tile_size = int(toks[i + 1]) if t == "-M" else int(t[2:])
+            i += 2 if t == "-M" else 1
+            continue
+        if t == "-O" or (t.startswith("-O") and t[2:].isdigit()):
+            cfg.max_tile_features = int(toks[i + 1]) if t == "-O" else int(t[2:])
+            i += 2 if t == "-O" else 1
+            continue
+        if t == "-K" or (t.startswith("-K") and t[2:].isdigit()):
+            cfg.cluster_distance = int(toks[i + 1]) if t == "-K" else int(t[2:])
+            i += 2 if t == "-K" else 1
+            continue
+        if t == "-S" or (t.startswith("-S") and t[2:].replace(".", "").isdigit()):
+            cfg.simplification = float(toks[i + 1]) if t == "-S" else float(t[2:])
+            i += 2 if t == "-S" else 1
+            continue
+        if t == "-E" or t == "--accumulate-attribute":
+            name, op = toks[i + 1].split(":")
+            cfg.accumulate[name] = op
+            i += 2
+            continue
+        if t == "-x" or t == "--exclude":
+            cfg.exclude.add(toks[i + 1])
+            i += 2
+            continue
+        if t == "-y" or t == "--include" or (t.startswith("-y") and len(t) > 2):
+            cfg.exclude_all = True
+            cfg.include.add(toks[i + 1] if t in ("-y", "--include") else t[2:])
+            i += 2 if t in ("-y", "--include") else 1
+            continue
+        if t == "-X" or t == "--exclude-all":
+            cfg.exclude_all = True
+            i += 1
+            continue
+        if t == "--clip-bounding-box":
+            from .core.projection import lonlat2tile
+
+            lon1, lat1, lon2, lat2 = (float(v) for v in toks[i + 1].split(","))
+            # main.cpp:3060-3064: (lon1,lat1)->(minx,maxy), (lon2,lat2)->(maxx,miny)
+            minx, maxy = lonlat2tile([lon1], [lat1], 32)
+            maxx, miny = lonlat2tile([lon2], [lat2], 32)
+            cfg.clip_bboxes.append((int(minx[0]), int(miny[0]),
+                                    int(maxx[0]), int(maxy[0])))
+            i += 2
+            continue
+        if t == "-s" or t == "--projection" or t.startswith("-sEPSG"):
+            cfg.projection = toks[i + 1] if t in ("-s", "--projection") else t[2:]
+            i += 2 if t in ("-s", "--projection") else 1
+            continue
+        if t == "-C" or t == "--prefilter":
+            cfg.prefilter = toks[i + 1]
+            i += 2
+            continue
+        if t == "-c" or t == "--postfilter":
+            cfg.postfilter = toks[i + 1]
+            i += 2
+            continue
+        if t == "-j" or t == "--feature-filter":
+            import json as _json
+
+            cfg.feature_filter = _json.loads(toks[i + 1])
+            i += 2
+            continue
+        if t == "-J" or t == "--feature-filter-file":
+            import json as _json
+
+            cfg.feature_filter = _json.loads(open(toks[i + 1]).read())
+            i += 2
+            continue
+        if t == "-T" or t == "--attribute-type":
+            name, ty = toks[i + 1].split(":")
+            cfg.attribute_types[name] = ty
+            i += 2
+            continue
+        if t in long_flags:
+            setattr(cfg, long_flags[t], True)
+            i += 1
+            continue
+        raise ValueError(f"unsupported option: {t}")
+    if not explicit_basezoom:
+        if cfg.guess_maxzoom_flag:
+            cfg.basezoom = -1  # resolved after guessing
+        else:
+            cfg.basezoom = cfg.maxzoom  # -B defaults to maxzoom (main.cpp:3117)
+    return cfg
+
+
+_ENGINE_WITH_ARG = {"-o", "--output", "-e", "--output-to-directory",
+                    "-l", "--layer", "-n", "--name", "-N", "--description",
+                    "-t", "--temporary-directory", "--spark-master"}
+_ENGINE_FLAGS = {"-f", "--force", "-q", "--quiet", "-P",
+                 "--read-parallel", "--local-runner", "-Q",
+                 "--no-progress-indicator", "-u", "-U"}
+
+
+def _split_args(argv):
+    """Separate engine-level options from tiling options and inputs."""
+    eng = {"inputs": [], "force": False, "quiet": False, "local": False,
+           "output": None, "outdir": None, "layer": None, "name": None,
+           "description": None, "master": None}
+    rest = []
+    i = 0
+    while i < len(argv):
+        t = argv[i]
+        if t in ("-o", "--output"):
+            eng["output"] = argv[i + 1]
+            i += 2
+        elif t.startswith("-o") and len(t) > 2 and not t.startswith("--"):
+            eng["output"] = t[2:]
+            i += 1
+        elif t in ("-e", "--output-to-directory"):
+            eng["outdir"] = argv[i + 1]
+            i += 2
+        elif t in ("-l", "--layer"):
+            eng["layer"] = argv[i + 1]
+            i += 2
+        elif t.startswith("-l") and len(t) > 2:
+            eng["layer"] = t[2:]
+            i += 1
+        elif t in ("-n", "--name"):
+            eng["name"] = argv[i + 1]
+            i += 2
+        elif t in ("-N", "--description"):
+            eng["description"] = argv[i + 1]
+            i += 2
+        elif t == "--spark-master":
+            eng["master"] = argv[i + 1]
+            i += 2
+        elif t in ("-t", "--temporary-directory"):
+            i += 2  # accepted for compatibility; Spark manages temp space
+        elif t in ("-f", "--force"):
+            eng["force"] = True
+            i += 1
+        elif t in ("-q", "--quiet", "-Q", "--no-progress-indicator"):
+            eng["quiet"] = True
+            i += 1
+        elif t == "--local-runner":
+            eng["local"] = True
+            i += 1
+        elif t in ("-P", "--read-parallel"):
+            i += 1  # always parallel on Spark
+        elif not t.startswith("-"):
+            eng["inputs"].append(t)
+            i += 1
+        else:
+            rest.append(t)
+            # option argument heuristics are handled by options_to_config;
+            # pull the next token too when it's clearly this option's value
+            takes_arg = t in ("-z", "-Z", "-B", "-r", "-g", "-b", "-d", "-D",
+                              "-M", "-O", "-K", "-S", "-E", "-x", "-y", "-X",
+                              "-s", "-C", "-c", "-j", "-J", "-T",
+                              "--accumulate-attribute", "--exclude",
+                              "--include", "--clip-bounding-box",
+                              "--projection", "--prefilter", "--postfilter",
+                              "--feature-filter", "--feature-filter-file",
+                              "--attribute-type")
+            if takes_arg and t not in ("-X",) and i + 1 < len(argv):
+                rest.append(argv[i + 1])
+                i += 2
+            else:
+                i += 1
+    return eng, rest
+
+
+def _file_bbox_spark(spark, paths, cfg, layer):
+    """File bbox from the import-time bbox fields of feature_records
+    (identical to the local path / reference serialize-time bbox,
+    main.cpp:455-470) — one task per input file, tiny collect."""
+    import pandas as pd
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"path": list(paths)})).repartition(len(paths), "path")
+
+    def part(it):
+        from .io.geojson import (feature_records, layer_name_from_path,
+                                 read_file_text)
+
+        for b in it:
+            for r in b.itertuples(index=False):
+                lname = layer if layer is not None \
+                    else layer_name_from_path(r.path)
+                feats = feature_records(read_file_text(r.path), lname, cfg)
+                if feats:
+                    yield pd.DataFrame({
+                        "mnx": [min(f["bbox_minx"] for f in feats)],
+                        "mny": [min(f["bbox_miny"] for f in feats)],
+                        "mxx": [max(f["bbox_maxx"] for f in feats)],
+                        "mxy": [max(f["bbox_maxy"] for f in feats)],
+                    })
+
+    parts = files.mapInPandas(
+        part, schema="mnx long, mny long, mxx long, mxy long").collect()
+    if not parts:
+        return (0, 0, 0, 0)
+    return (min(r["mnx"] for r in parts), min(r["mny"] for r in parts),
+            max(r["mxx"] for r in parts), max(r["mxy"] for r in parts))
+
+
+def build_main(argv) -> int:
+    eng, rest = _split_args(argv)
+    cfg = options_to_config(rest)
+    if not eng["inputs"]:
+        print("no input files", file=sys.stderr)
+        return 2
+    if eng["output"] is None and eng["outdir"] is None:
+        print("need -o out.mbtiles or -e out_dir", file=sys.stderr)
+        return 2
+
+    from .operators.stats import build_metadata
+    from .pipeline import build_tiles_local
+
+    name = eng["name"] or os.path.basename(
+        eng["output"] or eng["outdir"] or "out")
+
+    needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
+                   or cfg.droprate < 0)
+    if eng["local"] or needs_guess:
+        # guess flags need the reference's global in-memory scan
+        if needs_guess and not eng["local"] and not eng["quiet"]:
+            print("note: -zg/-Bg/-rg use the single-process runner",
+                  file=sys.stderr)
+        from .io.geojson import (feature_records, layer_name_from_path,
+                                 read_file_text)
+
+        feats = []
+        for fi, path in enumerate(eng["inputs"]):
+            lname = eng["layer"] or layer_name_from_path(path)
+            feats += feature_records(read_file_text(path), lname, cfg,
+                                     seq_start=fi << 40)
+        if needs_guess:
+            from .operators.guess import resolve_guesses
+
+            resolve_guesses(feats, cfg, cfg.guess_maxzoom_flag,
+                            cfg.basezoom, cfg.droprate)
+        tiles = build_tiles_local(feats, cfg)
+        meta = build_metadata(feats, tiles, cfg, name=name,
+                              description=eng["description"])
+    else:
+        from .io.geojson import geojson_files_df
+        from .operators.stats import collect_layer_stats_spark
+        from .pipeline import build_tiles
+        from .session import get_spark
+
+        spark = get_spark(master=eng["master"] or "local[*]")
+        df = geojson_files_df(spark, eng["inputs"], cfg, layer=eng["layer"])
+        df = df.persist()
+        try:
+            layers = collect_layer_stats_spark(df)
+            file_bbox = _file_bbox_spark(spark, eng["inputs"], cfg,
+                                         eng["layer"])
+            tiles = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                     for r in build_tiles(spark, df, cfg).collect()}
+        finally:
+            df.unpersist()
+        meta = build_metadata([], tiles, cfg, name=name,
+                              description=eng["description"],
+                              layers=layers, file_bbox=file_bbox)
+
+    if eng["output"]:
+        from .io.mbtiles import write_mbtiles
+
+        if eng["force"] and os.path.exists(eng["output"]):
+            os.remove(eng["output"])
+        write_mbtiles(eng["output"], tiles, meta)
+    else:
+        from .io.dirtiles import write_dirtiles
+
+        write_dirtiles(eng["outdir"], tiles, meta, force=eng["force"])
+    if not eng["quiet"]:
+        print(f"{len(tiles)} tiles -> {eng['output'] or eng['outdir']}",
+              file=sys.stderr)
+    return 0
+
+
+def decode_main(argv) -> int:
+    """Readable JSON dump of a tileset (tippecanoe-decode counterpart;
+    content-equivalent, not byte-formatted like the reference)."""
+    import gzip
+    import json
+
+    from .core.mvt import decode_tile, is_compressed
+    from .core.projection import tile2lonlat
+    from .io.dirtiles import read_dirtiles
+    from .io.mbtiles import read_mbtiles
+
+    if not argv:
+        print("usage: decode tiles.mbtiles|tiles_dir", file=sys.stderr)
+        return 2
+    path = argv[0]
+    tiles = read_dirtiles(path) if os.path.isdir(path) else read_mbtiles(path)
+    out = {"type": "FeatureCollection", "features": []}
+    import numpy as np
+
+    for (z, x, y) in sorted(tiles):
+        data = tiles[(z, x, y)]
+        if is_compressed(data):
+            data = gzip.decompress(data)
+        t = decode_tile(data)
+        tj = {"type": "FeatureCollection",
+              "properties": {"zoom": z, "x": x, "y": y}, "features": []}
+        for layer in t.layers:
+            scale = (1 << (32 - z)) / layer.extent
+            for f in layer.features:
+                coords = []
+                for op, gx, gy in f.geometry:
+                    if op in (1, 2):
+                        wx = np.int64(int((x * layer.extent + gx) * scale))
+                        wy = np.int64(int((y * layer.extent + gy) * scale))
+                        lon, lat = tile2lonlat(wx, wy, 32)
+                        coords.append([op, round(float(lon), 6),
+                                       round(float(lat), 6)])
+                    else:
+                        coords.append([op])
+                props = {}
+                for ki in range(0, len(f.tags), 2):
+                    v = layer.values[f.tags[ki + 1]]
+                    props[layer.keys[f.tags[ki]]] = (
+                        v.s if v.type == 0 else
+                        v.num if v.type in (1, 2) else
+                        v.i if v.type in (3, 4, 5) else v.b)
+                tj["features"].append({
+                    "type": "Feature", "layer": layer.name,
+                    "properties": props, "drawvec": coords,
+                })
+        out["features"].append(tj)
+    json.dump(out, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+def join_main(argv) -> int:
+    """tile-join counterpart: CSV attribute join and tileset merge."""
+    out = None
+    csv_path = None
+    force = False
+    opts = {}
+    inputs = []
+    i = 0
+    while i < len(argv):
+        t = argv[i]
+        if t in ("-o", "--output"):
+            out = argv[i + 1]
+            i += 2
+        elif t in ("-c", "--csv"):
+            csv_path = argv[i + 1]
+            i += 2
+        elif t in ("-f", "--force"):
+            force = True
+            i += 1
+        elif t in ("-i", "--if-matched"):
+            opts["ifmatched"] = True
+            i += 1
+        elif t in ("-pe", "--empty-csv-columns-are-null"):
+            opts["pe"] = True
+            i += 1
+        elif t in ("-l", "--layer"):
+            opts.setdefault("keep_layers", []).append(argv[i + 1])
+            i += 2
+        elif t in ("-L", "--exclude-layer"):
+            opts.setdefault("remove_layers", []).append(argv[i + 1])
+            i += 2
+        elif t in ("-R", "--rename-layer"):
+            old, new = argv[i + 1].split(":", 1)
+            opts.setdefault("renames", {})[old] = new
+            i += 2
+        elif not t.startswith("-"):
+            inputs.append(t)
+            i += 1
+        else:
+            print(f"unsupported join option: {t}", file=sys.stderr)
+            return 2
+    if out is None or not inputs:
+        print("usage: join -o out.mbtiles [-c attrs.csv] in.mbtiles ...",
+              file=sys.stderr)
+        return 2
+
+    from .io.dirtiles import read_dirtiles
+    from .io.mbtiles import read_mbtiles, write_mbtiles
+    from .operators.tilejoin import merge_tile_streams, tile_join_local
+
+    csv_text = open(csv_path).read() if csv_path else None
+    per_key: dict = {}
+    for p in inputs:
+        tiles = read_dirtiles(p) if os.path.isdir(p) else read_mbtiles(p)
+        for k, v in tile_join_local(tiles, csv_text, **dict(opts)).items():
+            per_key.setdefault(k, []).append(v)
+    merged = {k: (v[0] if len(v) == 1 else merge_tile_streams(v))
+              for k, v in per_key.items()}
+    if force and os.path.exists(out):
+        os.remove(out)
+    write_mbtiles(out, merged, {"name": os.path.basename(out),
+                                "format": "pbf"})
+    print(f"{len(merged)} tiles -> {out}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "decode":
+        return decode_main(argv[1:])
+    if argv and argv[0] == "join":
+        return join_main(argv[1:])
+    return build_main(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

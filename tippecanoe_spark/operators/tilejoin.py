@@ -221,6 +221,31 @@ def join_tile(data: bytes, z: int, x: int, y: int, header, mapping,
     return raw if no_tile_compression else M.gzip_tile(raw)
 
 
+def merge_tile_streams(outs) -> bytes:
+    """Merge several encoded tiles for the same (z, x, y): same-name
+    layers concatenate their feature streams in input order with
+    re-pooled keys/values (tile-join.cpp handle_tile layer union)."""
+    merged = M.MvtTile()
+    for o in outs:
+        t = M.decode_tile(o)
+        for L in t.layers:
+            tgt = None
+            for L2 in merged.layers:
+                if L2.name == L.name:
+                    tgt = L2
+                    break
+            if tgt is None:
+                merged.layers.append(L)
+            else:
+                for f in L.features:
+                    nf = M.MvtFeature(type=f.type, geometry=f.geometry,
+                                      id=f.id, has_id=f.has_id)
+                    for t2 in range(0, len(f.tags) - 1, 2):
+                        tgt.tag(nf, L.keys[f.tags[t2]], L.values[f.tags[t2 + 1]])
+                    tgt.features.append(nf)
+    return M.gzip_tile(M.encode_tile(merged))
+
+
 def tile_join(spark, tiles_df, csv_text: str | None = None, **options):
     """Spark tile-join over a (z, x, y, tile) DataFrame.
 
@@ -244,29 +269,7 @@ def tile_join(spark, tiles_df, csv_text: str | None = None, **options):
         if not outs:
             return pd.DataFrame(columns=["z", "x", "y", "tile"])
         # single-source fast path; multi-source merge decodes + re-merges
-        if len(outs) == 1:
-            tb = outs[0]
-        else:
-            merged = M.MvtTile()
-            for o in outs:
-                t = M.decode_tile(o)
-                for L in t.layers:
-                    tgt = None
-                    for L2 in merged.layers:
-                        if L2.name == L.name:
-                            tgt = L2
-                            break
-                    if tgt is None:
-                        merged.layers.append(L)
-                    else:
-                        for f in L.features:
-                            nf = M.MvtFeature(type=f.type, geometry=f.geometry,
-                                              id=f.id, has_id=f.has_id)
-                            for t2 in range(0, len(f.tags) - 1, 2):
-                                tgt.tag(nf, L.keys[f.tags[t2]], L.values[f.tags[t2 + 1]])
-                            tgt.features.append(nf)
-            raw = M.encode_tile(merged)
-            tb = M.gzip_tile(raw)
+        tb = outs[0] if len(outs) == 1 else merge_tile_streams(outs)
         if max_size and len(tb) > max_size:
             return pd.DataFrame(columns=["z", "x", "y", "tile"])
         return pd.DataFrame([(z, x, y, tb)], columns=["z", "x", "y", "tile"])
