@@ -111,6 +111,40 @@ def test_cli_join_csv_matches_reference(tmp_path):
 
 
 @requires_reference
+def test_cli_short_letter_options_match_reference(tmp_path):
+    """The reference's -aX / -pX single-letter spellings (options.hpp
+    letter tables), incl. multi-letter bundles like -ps -pt."""
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/tl_2018_51685_roads/in.json"
+    for opts in (["-z6", "-as", "-O50"],        # -as = --drop-densest-as-needed
+                 ["-z6", "-ps", "-pt"],         # no-simplify + no-tiny-poly
+                 ["-z6", "-ar", "-ao"]):        # reverse + reorder
+        ref_out = tmp_path / "ref.mbtiles"
+        our_out = tmp_path / "ours.mbtiles"
+        subprocess.run([REFBIN, "-q", "-f", "-o", str(ref_out)]
+                       + opts + [src], check=True, capture_output=True)
+        rc = main(["-q", "-f", "--local-runner", "-l", "in",
+                   "-o", str(our_out)] + opts + [src])
+        assert rc == 0
+        assert _read(str(ref_out)) == _read(str(our_out)), opts
+
+
+@requires_reference
+def test_cli_csv_input_matches_reference(tmp_path):
+    from tippecanoe_spark.cli import main
+
+    src = "/root/reference/tests/csv/ne_110m_populated_places_simple.csv"
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-z3", "-o", str(ref_out), src],
+                   check=True, capture_output=True)
+    rc = main(["-q", "-f", "-z3", "--local-runner", "-o", str(our_out), src])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+
+
+@requires_reference
 def test_cli_decode_smoke(tmp_path, capsys):
     from tippecanoe_spark.cli import main
 

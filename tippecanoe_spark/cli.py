@@ -73,8 +73,50 @@ def options_to_config(options, maxzoom_default: int = 14):
         "--use-source-polygon-winding": "use_source_polygon_winding",
         "--reverse-source-polygon-winding": "reverse_source_polygon_winding",
     }
+    # single-letter -p / -a spellings (options.hpp P_* / A_* tables);
+    # None = accepted no-op (engine-internal in the reference), absent
+    # letter = unsupported (error, like the reference's getopt loop)
+    p_letters = {
+        "s": "no_simplification", "S": "no_simplification_low",
+        "f": "no_feature_limit", "k": "no_tile_size_limit",
+        "d": "drop_fraction", "i": "no_input_order",
+        "c": "no_clipping", "D": "no_duplication",
+        "t": "no_tiny_polygon_reduction", "C": "no_tile_compression",
+        "w": "use_source_polygon_winding",
+        "W": "reverse_source_polygon_winding",
+        "e": "empty_csv_columns_null",
+    }
+    a_letters = {
+        "c": "coalesce", "r": "reverse", "o": "reorder",
+        "l": "drop_lines", "p": "drop_polygons",
+        "b": "detect_shared_borders", "g": "calculate_feature_density",
+        "G": "increase_gamma", "s": "drop_densest", "d": "drop_fraction",
+        "n": "drop_smallest", "S": "coalesce_densest",
+        "N": "coalesce_smallest", "D": "coalesce_fraction",
+        "L": "grid_low_zooms", "w": "detect_wraparound",
+        "e": "extend_zooms", "C": "cluster_densest",
+        "i": "generate_ids", "I": "convert_stringified_ids",
+        "h": "use_hilbert",
+        "R": None,  # prefer-radix-sort: Spark shuffles sort; no-op
+    }
     while i < len(toks):
         t = toks[i]
+        if t.startswith("-p") and len(t) > 2 and not t.startswith("--"):
+            for ch in t[2:]:
+                if ch not in p_letters:
+                    raise ValueError(f"unsupported option: -p{ch}")
+                if p_letters[ch]:
+                    setattr(cfg, p_letters[ch], True)
+            i += 1
+            continue
+        if t.startswith("-a") and len(t) > 2 and not t.startswith("--"):
+            for ch in t[2:]:
+                if ch not in a_letters:
+                    raise ValueError(f"unsupported option: -a{ch}")
+                if a_letters[ch]:
+                    setattr(cfg, a_letters[ch], True)
+            i += 1
+            continue
         if t == "-zg":
             cfg.maxzoom = 24
             cfg.guess_maxzoom_flag = True
@@ -296,14 +338,11 @@ def _file_bbox_spark(spark, paths, cfg, layer):
         pd.DataFrame({"path": list(paths)})).repartition(len(paths), "path")
 
     def part(it):
-        from .io.geojson import (feature_records, layer_name_from_path,
-                                 read_file_text)
+        from .io.geojson import features_from_file
 
         for b in it:
             for r in b.itertuples(index=False):
-                lname = layer if layer is not None \
-                    else layer_name_from_path(r.path)
-                feats = feature_records(read_file_text(r.path), lname, cfg)
+                feats = features_from_file(r.path, cfg, layer)
                 if feats:
                     yield pd.DataFrame({
                         "mnx": [min(f["bbox_minx"] for f in feats)],
@@ -343,14 +382,12 @@ def build_main(argv) -> int:
         if needs_guess and not eng["local"] and not eng["quiet"]:
             print("note: -zg/-Bg/-rg use the single-process runner",
                   file=sys.stderr)
-        from .io.geojson import (feature_records, layer_name_from_path,
-                                 read_file_text)
+        from .io.geojson import features_from_file
 
         feats = []
         for fi, path in enumerate(eng["inputs"]):
-            lname = eng["layer"] or layer_name_from_path(path)
-            feats += feature_records(read_file_text(path), lname, cfg,
-                                     seq_start=fi << 40)
+            feats += features_from_file(path, cfg, eng["layer"],
+                                        seq_start=fi << 40)
         if needs_guess:
             from .operators.guess import resolve_guesses
 

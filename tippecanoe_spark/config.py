@@ -34,6 +34,7 @@ class TileConfig:
     attribute_types: dict = field(default_factory=dict)  # -T name:type
     accumulate: dict = field(default_factory=dict)       # -E name:op
     feature_filter: dict | None = None          # -j
+    empty_csv_columns_null: bool = False        # -pe (geocsv import)
 
     # drop strategies (additional[] flags)
     drop_densest: bool = False      # --drop-densest-as-needed

@@ -87,6 +87,31 @@ def feature_records_path(path: str, cfg: TileConfig, layer: str | None = None,
     return feature_records(read_file_text(path), layer, cfg, seq_start)
 
 
+def features_from_file(path: str, cfg: TileConfig, layer: str | None = None,
+                       seq_start: int = 0):
+    """Format-dispatched file import (main.cpp:486-561 decides by
+    content/extension): .csv -> GeoCSV, .geobuf/.pbf -> geobuf, else
+    GeoJSON; gzip sniffed transparently for the text formats."""
+    lname = layer if layer is not None else layer_name_from_path(path)
+    base = path[:-3] if path.endswith(".gz") else path
+    if base.endswith(".csv"):
+        from .geocsv import geocsv_features
+
+        return geocsv_features(read_file_text(path), lname, cfg,
+                               empty_csv_columns_null=cfg.empty_csv_columns_null,
+                               seq_start=seq_start)
+    if base.endswith(".geobuf") or base.endswith(".pbf"):
+        import gzip as _gzip
+
+        from .geobuf import geobuf_features
+
+        raw = open(path, "rb").read()
+        if raw[:2] == b"\x1f\x8b":
+            raw = _gzip.decompress(raw)
+        return geobuf_features(raw, lname, cfg, seq_start=seq_start)
+    return feature_records(read_file_text(path), lname, cfg, seq_start)
+
+
 def geojson_files_df(spark, paths, cfg: TileConfig, layer: str | None = None):
     """Distributed GeoJSON file source: one task per input file, the
     reference's multi-source layout (main.cpp:1255-1298 names one layer
@@ -116,9 +141,8 @@ def geojson_files_df(spark, paths, cfg: TileConfig, layer: str | None = None):
 
         for b in it:
             for r in b.itertuples(index=False):
-                lname = layer if layer is not None else layer_name_from_path(r.path)
-                feats = feature_records(read_file_text(r.path), lname, cfg,
-                                        seq_start=int(r.fidx) << 40)
+                feats = features_from_file(r.path, cfg, layer,
+                                           seq_start=int(r.fidx) << 40)
                 if feats:
                     yield features_to_pdf(feats)
 
