@@ -131,6 +131,26 @@ def test_cli_short_letter_options_match_reference(tmp_path):
 
 
 @requires_reference
+def test_cli_named_layers_match_reference(tmp_path):
+    """-L name:file per-input layer naming (--named-layer)."""
+    from tippecanoe_spark.cli import main
+
+    raw = open(f"{REF_TESTS}/muni/muni.json", "rb").read()
+    p1 = tmp_path / "f1.json"
+    p1.write_bytes(raw)
+    p2 = tmp_path / "f2.json"
+    p2.write_bytes(raw)
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    args = ["-q", "-f", "-z4", "-L", f"alpha:{p1}", "-L", f"beta:{p2}"]
+    subprocess.run([REFBIN] + args + ["-o", str(ref_out)],
+                   check=True, capture_output=True)
+    rc = main(args + ["--local-runner", "-o", str(our_out)])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+
+
+@requires_reference
 def test_cli_csv_input_matches_reference(tmp_path):
     from tippecanoe_spark.cli import main
 

@@ -238,6 +238,22 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.attribute_types[name] = ty
             i += 2
             continue
+        if t == "-m" or t == "--minimum-detail" \
+                or (t.startswith("-m") and t[2:].isdigit()):
+            cfg.min_detail = int(t[2:]) if (t.startswith("-m") and len(t) > 2
+                                            and t != "--minimum-detail") \
+                else int(toks[i + 1])
+            i += 1 if (t.startswith("-m") and len(t) > 2
+                       and t != "--minimum-detail") else 2
+            continue
+        if t == "--use-attribute-for-id":
+            cfg.use_attribute_for_id = toks[i + 1]
+            i += 2
+            continue
+        if t == "--force-feature-limit":  # long name of -pd
+            cfg.drop_fraction = True
+            i += 1
+            continue
         if t in long_flags:
             setattr(cfg, long_flags[t], True)
             i += 1
@@ -263,7 +279,8 @@ def _split_args(argv):
     """Separate engine-level options from tiling options and inputs."""
     eng = {"inputs": [], "force": False, "quiet": False, "local": False,
            "output": None, "outdir": None, "layer": None, "name": None,
-           "description": None, "master": None}
+           "description": None, "master": None, "attribution": None,
+           "named_layers": {}}
     rest = []
     i = 0
     while i < len(argv):
@@ -283,6 +300,19 @@ def _split_args(argv):
         elif t.startswith("-l") and len(t) > 2:
             eng["layer"] = t[2:]
             i += 1
+        elif t in ("-L", "--named-layer"):
+            name, path = argv[i + 1].split(":", 1)
+            eng["named_layers"][path] = name
+            eng["inputs"].append(path)
+            i += 2
+        elif t.startswith("-L") and len(t) > 2 and ":" in t:
+            name, path = t[2:].split(":", 1)
+            eng["named_layers"][path] = name
+            eng["inputs"].append(path)
+            i += 1
+        elif t in ("-A", "--attribution"):
+            eng["attribution"] = argv[i + 1]
+            i += 2
         elif t in ("-n", "--name"):
             eng["name"] = argv[i + 1]
             i += 2
@@ -342,7 +372,8 @@ def _file_bbox_spark(spark, paths, cfg, layer):
 
         for b in it:
             for r in b.itertuples(index=False):
-                feats = features_from_file(r.path, cfg, layer)
+                lname = layer.get(r.path) if isinstance(layer, dict) else layer
+                feats = features_from_file(r.path, cfg, lname)
                 if feats:
                     yield pd.DataFrame({
                         "mnx": [min(f["bbox_minx"] for f in feats)],
@@ -375,6 +406,18 @@ def build_main(argv) -> int:
     name = eng["name"] or os.path.basename(
         eng["output"] or eng["outdir"] or "out")
 
+    # per-file layer names: --named-layer beats --layer beats filename
+    def layer_arg():
+        if eng["named_layers"]:
+            return {p: eng["named_layers"].get(p, eng["layer"])
+                    or _default_layer(p) for p in eng["inputs"]}
+        return eng["layer"]
+
+    def _default_layer(p):
+        from .io.geojson import layer_name_from_path
+
+        return layer_name_from_path(p)
+
     needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
                    or cfg.droprate < 0)
     if eng["local"] or needs_guess:
@@ -384,9 +427,11 @@ def build_main(argv) -> int:
                   file=sys.stderr)
         from .io.geojson import features_from_file
 
+        la = layer_arg()
         feats = []
         for fi, path in enumerate(eng["inputs"]):
-            feats += features_from_file(path, cfg, eng["layer"],
+            lname = la.get(path) if isinstance(la, dict) else la
+            feats += features_from_file(path, cfg, lname,
                                         seq_start=fi << 40)
         if needs_guess:
             from .operators.guess import resolve_guesses
@@ -403,12 +448,12 @@ def build_main(argv) -> int:
         from .session import get_spark
 
         spark = get_spark(master=eng["master"] or "local[*]")
-        df = geojson_files_df(spark, eng["inputs"], cfg, layer=eng["layer"])
+        la = layer_arg()
+        df = geojson_files_df(spark, eng["inputs"], cfg, layer=la)
         df = df.persist()
         try:
             layers = collect_layer_stats_spark(df)
-            file_bbox = _file_bbox_spark(spark, eng["inputs"], cfg,
-                                         eng["layer"])
+            file_bbox = _file_bbox_spark(spark, eng["inputs"], cfg, la)
             tiles = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
                      for r in build_tiles(spark, df, cfg).collect()}
         finally:
@@ -416,6 +461,9 @@ def build_main(argv) -> int:
         meta = build_metadata([], tiles, cfg, name=name,
                               description=eng["description"],
                               layers=layers, file_bbox=file_bbox)
+
+    if eng["attribution"]:
+        meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359
 
     if eng["output"]:
         from .io.mbtiles import write_mbtiles

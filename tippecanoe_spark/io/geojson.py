@@ -112,12 +112,15 @@ def features_from_file(path: str, cfg: TileConfig, layer: str | None = None,
     return feature_records(read_file_text(path), lname, cfg, seq_start)
 
 
-def geojson_files_df(spark, paths, cfg: TileConfig, layer: str | None = None):
-    """Distributed GeoJSON file source: one task per input file, the
+def geojson_files_df(spark, paths, cfg: TileConfig,
+                     layer: str | dict | None = None):
+    """Distributed feature-file source: one task per input file, the
     reference's multi-source layout (main.cpp:1255-1298 names one layer
     per file; within-file parallel parsing is an optimization the
-    cascade's later repartition makes unnecessary here).  gzip is
-    sniffed per file (read_file_text).
+    cascade's later repartition makes unnecessary here).  Format is
+    dispatched per file (features_from_file); gzip is sniffed.  `layer`
+    may be a single name for every file, a {path: name} mapping
+    (--named-layer), or None for filename-derived names.
 
     seq is (file_index << 40) + in-file sequence: only the RELATIVE seq
     order is observable (fmz rank tie-breaks, --preserve-input-order
@@ -141,7 +144,8 @@ def geojson_files_df(spark, paths, cfg: TileConfig, layer: str | None = None):
 
         for b in it:
             for r in b.itertuples(index=False):
-                feats = features_from_file(r.path, cfg, layer,
+                lname = layer.get(r.path) if isinstance(layer, dict) else layer
+                feats = features_from_file(r.path, cfg, lname,
                                            seq_start=int(r.fidx) << 40)
                 if feats:
                     yield features_to_pdf(feats)
