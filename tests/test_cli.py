@@ -165,6 +165,51 @@ def test_cli_csv_input_matches_reference(tmp_path):
 
 
 @requires_reference
+def test_cli_one_tile_matches_reference(tmp_path):
+    """-R z/x/y single-tile debug build (--one-tile)."""
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-R", "4/2/6", "-o", str(ref_out),
+                    src], check=True, capture_output=True)
+    rc = main(["-q", "-f", "-R", "4/2/6", "-o", str(our_out), src])
+    assert rc == 0
+    ref = _read(str(ref_out))
+    ours = _read(str(our_out))
+    assert set(ref) == {(4, 2, 6)} and ref == ours
+
+
+@requires_reference
+def test_cli_attribute_description_and_no_tilestats(tmp_path):
+    """-Y name:desc replaces the derived field type in the metadata
+    json; --no-tile-stats drops the tilestats block (both
+    mbtiles.cpp)."""
+    import sqlite3
+
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    for opts in (["-Y", "name:The stop name"],
+                 ["--no-tile-stats"],
+                 ["-Y", "name:x", "--no-tile-stats"]):
+        ref_out = tmp_path / "ref.mbtiles"
+        our_out = tmp_path / "ours.mbtiles"
+        subprocess.run([REFBIN, "-q", "-f", "-z3", "-o", str(ref_out)]
+                       + opts + [src], check=True, capture_output=True)
+        rc = main(["-q", "-f", "-z3", "--local-runner",
+                   "-o", str(our_out)] + opts + [src])
+        assert rc == 0
+        ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
+            "select name, value from metadata"))
+        our_meta = dict(sqlite3.connect(str(our_out)).execute(
+            "select name, value from metadata"))
+        assert our_meta["json"] == ref_meta["json"], opts
+        assert _read(str(ref_out)) == _read(str(our_out))
+
+
+@requires_reference
 def test_cli_decode_smoke(tmp_path, capsys):
     from tippecanoe_spark.cli import main
 

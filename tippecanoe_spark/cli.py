@@ -85,6 +85,7 @@ def options_to_config(options, maxzoom_default: int = 14):
         "w": "use_source_polygon_winding",
         "W": "reverse_source_polygon_winding",
         "e": "empty_csv_columns_null",
+        "g": "no_tilestats",
     }
     a_letters = {
         "c": "coalesce", "r": "reverse", "o": "reorder",
@@ -250,6 +251,21 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.use_attribute_for_id = toks[i + 1]
             i += 2
             continue
+        if t == "-R" or t == "--one-tile":
+            zs, xs_, ys_ = toks[i + 1].split("/")
+            cfg.minzoom = cfg.maxzoom = int(zs)  # main.cpp:2752-2758
+            cfg.one_tile = (int(xs_), int(ys_))
+            i += 2
+            continue
+        if t == "-Y" or t == "--attribute-description":
+            name, desc = toks[i + 1].split(":", 1)
+            cfg.attribute_descriptions[name] = desc
+            i += 2
+            continue
+        if t == "--no-tile-stats":
+            cfg.no_tilestats = True
+            i += 1
+            continue
         if t == "--force-feature-limit":  # long name of -pd
             cfg.drop_fraction = True
             i += 1
@@ -344,7 +360,10 @@ def _split_args(argv):
             # pull the next token too when it's clearly this option's value
             takes_arg = t in ("-z", "-Z", "-B", "-r", "-g", "-b", "-d", "-D",
                               "-M", "-O", "-K", "-S", "-E", "-x", "-y", "-X",
-                              "-s", "-C", "-c", "-j", "-J", "-T",
+                              "-s", "-C", "-c", "-j", "-J", "-T", "-R", "-Y",
+                              "-m", "--one-tile", "--minimum-detail",
+                              "--attribute-description",
+                              "--use-attribute-for-id",
                               "--accumulate-attribute", "--exclude",
                               "--include", "--clip-bounding-box",
                               "--projection", "--prefilter", "--postfilter",
@@ -420,8 +439,9 @@ def build_main(argv) -> int:
 
     needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
                    or cfg.droprate < 0)
-    if eng["local"] or needs_guess:
-        # guess flags need the reference's global in-memory scan
+    if eng["local"] or needs_guess or cfg.one_tile is not None:
+        # guess flags need the reference's global in-memory scan;
+        # --one-tile is a single-tile debug build
         if needs_guess and not eng["local"] and not eng["quiet"]:
             print("note: -zg/-Bg/-rg use the single-process runner",
                   file=sys.stderr)

@@ -58,6 +58,9 @@ class TileConfig:
     generate_ids: bool = False
     convert_stringified_ids: bool = False  # --convert-stringified-ids-to-numbers
     use_attribute_for_id: str | None = None
+    one_tile: tuple | None = None               # -R z/x/y -> (x, y); z pins min=max
+    attribute_descriptions: dict = field(default_factory=dict)  # -Y name:desc
+    no_tilestats: bool = False                  # -pg / --no-tile-stats
 
     # prevent[] flags
     no_clipping: bool = False        # -pc

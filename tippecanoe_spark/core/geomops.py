@@ -35,11 +35,14 @@ def _rings(op: np.ndarray):
     end is exclusive; op[end] (if present) is the next non-LINETO.
     """
     n = len(op)
+    if n == 0:
+        return
+    ol = op.tolist() if isinstance(op, np.ndarray) else op
     i = 0
     while i < n:
-        if op[i] == OP_MOVETO:
+        if ol[i] == OP_MOVETO:
             j = i + 1
-            while j < n and op[j] == OP_LINETO:
+            while j < n and ol[j] == OP_LINETO:
                 j += 1
             yield i, j
             i = j
@@ -78,6 +81,36 @@ def _remove_noop_scalar(op, x, y, t: int, shift: int):
     ol = op.tolist()
     xl = x.tolist()
     yl = y.tolist()
+
+    # no-op fast path: detect in one scan whether ANY of the three
+    # passes would drop something; the overwhelmingly common case is
+    # "nothing drops", where the input arrays pass through untouched
+    n = len(ol)
+    clean = True
+    px = py = 0
+    have = False
+    for i in range(n):
+        o = ol[i]
+        if o == OP_LINETO:
+            sx, sy = xl[i] >> shift, yl[i] >> shift
+            if have and sx == px and sy == py:
+                clean = False  # pass 1 would drop
+                break
+            px, py = sx, sy
+            have = True
+        elif o == OP_MOVETO:
+            if t != VT_POINT and (i + 1 >= n or ol[i + 1] != OP_LINETO):
+                clean = False  # pass 2: dangling / moveto-moveto / moveto-close
+                break
+            sx, sy = xl[i] >> shift, yl[i] >> shift
+            if t == VT_LINE and i > 0 and ol[i - 1] == OP_LINETO \
+                    and sx == px and sy == py:
+                clean = False  # pass 3: moveto duplicating lineto endpoint
+                break
+            px, py = sx, sy
+            have = True
+    if clean:
+        return op, x, y
 
     # pass 1: remove empty linetos
     o1, x1, y1 = [], [], []
@@ -167,7 +200,8 @@ def remove_noop(op, x, y, t: int, shift: int = 0):
             if o != OP_CLOSEPATH:
                 px, py = x[i] >> shift, y[i] >> shift
                 have = True
-    op, x, y = op[keep], x[keep], y[keep]
+    if not keep.all():
+        op, x, y = op[keep], x[keep], y[keep]
 
     # pass 2: remove unused movetos
     if t != VT_POINT:
@@ -586,19 +620,33 @@ def impose_tile_boundaries(op, x, y, necessary, extent):
     # is trivially accepted by the clip (c == 1), nothing is inserted
     if n and x.min() >= 0 and y.min() >= 0 and x.max() <= extent and y.max() <= extent:
         return op, x, y, necessary
+    ol = op.tolist()
+    xl = x.tolist()
+    yl = y.tolist()
+    nl = necessary.tolist()
     out = []
+    ap = out.append
+    changed = False
     for i in range(n):
-        if i > 0 and op[i] == OP_LINETO and op[i - 1] in (OP_MOVETO, OP_LINETO):
-            x1, y1 = float(x[i - 1]), float(y[i - 1])
-            x2, y2 = float(x[i]), float(y[i])
-            c, cx1, cy1, cx2, cy2 = _cs_clip_segment(x1, y1, x2, y2, 0, 0, extent, extent)
-            if c > 1:
-                if cx1 != x[i - 1] or cy1 != y[i - 1]:
-                    out.append((OP_LINETO, int(cx1), int(cy1), True))
-                if cx2 != x[i] or cy2 != y[i]:
-                    out.append((OP_LINETO, int(cx2), int(cy2), True))
-        out.append((op[i], int(x[i]), int(y[i]), bool(necessary[i])))
-    if not out:
+        o = ol[i]
+        if i > 0 and o == OP_LINETO and ol[i - 1] != OP_CLOSEPATH:
+            xi1, yi1 = xl[i - 1], yl[i - 1]
+            xi2, yi2 = xl[i], yl[i]
+            # both endpoints inside: trivially accepted, nothing inserted
+            if not (0 <= xi1 <= extent and 0 <= yi1 <= extent
+                    and 0 <= xi2 <= extent and 0 <= yi2 <= extent):
+                c, cx1, cy1, cx2, cy2 = _cs_clip_segment(
+                    float(xi1), float(yi1), float(xi2), float(yi2),
+                    0, 0, extent, extent)
+                if c > 1:
+                    if cx1 != xi1 or cy1 != yi1:
+                        ap((OP_LINETO, int(cx1), int(cy1), True))
+                        changed = True
+                    if cx2 != xi2 or cy2 != yi2:
+                        ap((OP_LINETO, int(cx2), int(cy2), True))
+                        changed = True
+        ap((o, xl[i], yl[i], nl[i]))
+    if not changed:
         return op, x, y, necessary
     oo, ox, oy, on = zip(*out)
     return (

@@ -252,9 +252,12 @@ def tilestats_write(layers: dict, w: JsonWriter) -> None:
 
 
 def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
-                        do_tilestats: bool = True) -> str:
+                        do_tilestats: bool = True,
+                        attribute_descriptions: dict | None = None) -> str:
     """The 'json' metadata value (mbtiles.cpp:404-531): vector_layers +
-    tilestats."""
+    tilestats.  attribute_descriptions (-Y name:desc) replaces the
+    derived type string for named fields (mbtiles.cpp:442-460)."""
+    descs = attribute_descriptions or {}
     w = JsonWriter()
     w.write_hash()
     w.nospace = True
@@ -277,6 +280,9 @@ def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
         for key in sorted(ls.file_keys):
             fk = ls.file_keys[key]
             w.write_string(key)
+            if key in descs:
+                w.write_string(descs[key])
+                continue
             t = 0
             for _sval, vtype in fk["samples"]:
                 t |= 1 << vtype
@@ -353,7 +359,10 @@ def build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
         "bounds": "%f,%f,%f,%f" % (float(minlon), float(minlat), float(maxlon), float(maxlat)),
         "type": "overlay",
         "format": "pbf",
-        "json": metadata_json_field(layers, cfg.minzoom, cfg.maxzoom),
+        "json": metadata_json_field(
+            layers, cfg.minzoom, cfg.maxzoom,
+            do_tilestats=not cfg.no_tilestats,
+            attribute_descriptions=cfg.attribute_descriptions),
     }
 
 

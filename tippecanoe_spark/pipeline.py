@@ -104,6 +104,11 @@ def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exac
     tiles = {}
     current = {(0, 0): features}
     z = 0
+    if cfg.one_tile is not None:
+        # --one-tile z/x/y: the traversal starts (and, since -R pins
+        # minzoom == maxzoom, ends) at that tile (main.cpp:1871-1875)
+        z = cfg.minzoom
+        current = {cfg.one_tile: features}
     maxzoom = cfg.maxzoom
     while z <= maxzoom:
         params = _zoom_params_init(z, cfg)
@@ -558,6 +563,11 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     from pyspark.sql import functions as F
 
     from .operators.tiler import can_prefilter_dropped, can_shrink_dropped, fanout_pdf
+
+    if cfg.one_tile is not None:
+        raise NotImplementedError(
+            "--one-tile is a single-tile debug build; use the local "
+            "runner (build_tiles_local / CLI --local-runner, automatic)")
 
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
     par = spark.sparkContext.defaultParallelism
