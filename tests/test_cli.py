@@ -165,6 +165,31 @@ def test_cli_csv_input_matches_reference(tmp_path):
 
 
 @requires_reference
+def test_cli_guess_flags_spark_match_reference(tmp_path):
+    """-zg / -Bg / -rg through the SPARK path: the distributed
+    estimators (resolve_guesses_spark) drive the build; tiles and the
+    guessed maxzoom are byte-identical to the reference."""
+    import sqlite3
+
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-zg", "-Bg", "-rg",
+                    "-o", str(ref_out), src], check=True, capture_output=True)
+    rc = main(["-q", "-f", "-zg", "-Bg", "-rg", "--spark-master", "local[4]",
+               "-o", str(our_out), src])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+    ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
+        "select name, value from metadata"))
+    our_meta = dict(sqlite3.connect(str(our_out)).execute(
+        "select name, value from metadata"))
+    assert our_meta["maxzoom"] == ref_meta["maxzoom"]
+
+
+@requires_reference
 def test_cli_one_tile_matches_reference(tmp_path):
     """-R z/x/y single-tile debug build (--one-tile)."""
     from tippecanoe_spark.cli import main

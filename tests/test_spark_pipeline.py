@@ -145,6 +145,39 @@ def test_geojson_files_source_reference_parity(spark, tmp_path):
     assert ref == ours
 
 
+def test_spark_guess_matches_local(spark):
+    """Distributed -zg/-Bg/-rg estimators (resolve_guesses_spark) equal
+    the driver-local scan on real fixtures, incl. the gamma>0 per-tile
+    gap-state path."""
+    import copy
+
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.geojson import feature_records
+    from tippecanoe_spark.operators.guess import (resolve_guesses,
+                                                  resolve_guesses_spark)
+    from tippecanoe_spark.pipeline import features_to_pdf
+
+    for path, layer in (("/root/reference/tests/muni/muni.json", "muni"),
+                        ("/root/reference/tests/tl_2018_51685_roads/in.json",
+                         "in")):
+        for gz, bz, dr, gamma in ((True, -1, -1.0, 0.0),
+                                  (True, -2, -2.0, 0.0),
+                                  (False, -2, -2.0, 0.0),
+                                  (True, -2, -2.0, 2.0)):
+            cfg = TileConfig(maxzoom=24 if gz else 9, gamma=gamma)
+            if gz:
+                cfg.guess_maxzoom_flag = True
+            feats = feature_records(open(path).read(), layer, cfg)
+            c_local = copy.deepcopy(cfg)
+            resolve_guesses(feats, c_local, gz, bz, dr)
+            df = spark.createDataFrame(features_to_pdf(feats))
+            c_spark = copy.deepcopy(cfg)
+            resolve_guesses_spark(df, c_spark, gz, bz, dr)
+            assert (c_local.maxzoom, c_local.basezoom, c_local.droprate) == \
+                (c_spark.maxzoom, c_spark.basezoom, c_spark.droprate), \
+                (path, gz, bz, dr, gamma)
+
+
 def test_spark_shrink_modes_match_local(spark):
     """The witness-lemma shrink (operators.tiler.shrink_dropped_pdf) is
     active for as-needed/accumulate configs on the Spark path; output

@@ -439,12 +439,8 @@ def build_main(argv) -> int:
 
     needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
                    or cfg.droprate < 0)
-    if eng["local"] or needs_guess or cfg.one_tile is not None:
-        # guess flags need the reference's global in-memory scan;
+    if eng["local"] or cfg.one_tile is not None:
         # --one-tile is a single-tile debug build
-        if needs_guess and not eng["local"] and not eng["quiet"]:
-            print("note: -zg/-Bg/-rg use the single-process runner",
-                  file=sys.stderr)
         from .io.geojson import features_from_file
 
         la = layer_arg()
@@ -469,11 +465,23 @@ def build_main(argv) -> int:
 
         spark = get_spark(master=eng["master"] or "local[*]")
         la = layer_arg()
-        df = geojson_files_df(spark, eng["inputs"], cfg, layer=la)
+        # parse with the PRE-guess config (frozen copy): guessing
+        # mutates cfg (maxzoom/basezoom/droprate) but the reference
+        # imports once before guessing, so recomputation of the lazy
+        # parse must keep the import-time parameters
+        import copy as _copy
+
+        parse_cfg = _copy.deepcopy(cfg)
+        df = geojson_files_df(spark, eng["inputs"], parse_cfg, layer=la)
         df = df.persist()
         try:
+            if needs_guess:
+                from .operators.guess import resolve_guesses_spark
+
+                resolve_guesses_spark(df, cfg, cfg.guess_maxzoom_flag,
+                                      cfg.basezoom, cfg.droprate)
             layers = collect_layer_stats_spark(df)
-            file_bbox = _file_bbox_spark(spark, eng["inputs"], cfg, la)
+            file_bbox = _file_bbox_spark(spark, eng["inputs"], parse_cfg, la)
             tiles = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
                      for r in build_tiles(spark, df, cfg).collect()}
         finally:
