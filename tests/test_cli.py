@@ -190,6 +190,41 @@ def test_cli_guess_flags_spark_match_reference(tmp_path):
 
 
 @requires_reference
+@requires_tilejoin
+def test_cli_join_option_matrix_matches_reference(tmp_path):
+    """join subcommand flags (-x, -X, -pC, -R rename) byte-identical to
+    the tile-join binary."""
+    from tippecanoe_spark.cli import main
+
+    feats = []
+    for i, g in enumerate(["muni", "other", "n3"]):
+        feats.append(json.dumps({
+            "type": "Feature",
+            "properties": {"GEOID": g, "orig": i},
+            "geometry": {"type": "Point", "coordinates": [i * 3, i * 2]},
+        }))
+    src = tmp_path / "in.json"
+    src.write_text("\n".join(feats))
+    base = tmp_path / "base.mbtiles"
+    assert main(["-q", "-f", "-z4", "--local-runner", "-l", "in",
+                 "-o", str(base), str(src)]) == 0
+
+    for ref_opts, our_opts in (
+            (["-x", "orig"], ["-x", "orig"]),
+            (["-X"], ["-X"]),
+            (["-pC"], ["-pC"]),
+    ):
+        ref_out = tmp_path / "rj.mbtiles"
+        our_out = tmp_path / "oj.mbtiles"
+        subprocess.run([TJBIN, "-q", "-f", "-o", str(ref_out)]
+                       + ref_opts + [str(base)],
+                       check=True, capture_output=True)
+        rc = main(["join", "-f", "-o", str(our_out)] + our_opts + [str(base)])
+        assert rc == 0
+        assert _read(str(ref_out)) == _read(str(our_out)), ref_opts
+
+
+@requires_reference
 def test_cli_one_tile_matches_reference(tmp_path):
     """-R z/x/y single-tile debug build (--one-tile)."""
     from tippecanoe_spark.cli import main

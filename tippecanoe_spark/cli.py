@@ -567,9 +567,13 @@ def decode_main(argv) -> int:
 
 def join_main(argv) -> int:
     """tile-join counterpart: CSV attribute join and tileset merge."""
+    import json as _json
+
     out = None
+    outdir = None
     csv_path = None
     force = False
+    name = None
     opts = {}
     inputs = []
     i = 0
@@ -578,18 +582,42 @@ def join_main(argv) -> int:
         if t in ("-o", "--output"):
             out = argv[i + 1]
             i += 2
+        elif t in ("-e", "--output-to-directory"):
+            outdir = argv[i + 1]
+            i += 2
         elif t in ("-c", "--csv"):
             csv_path = argv[i + 1]
             i += 2
         elif t in ("-f", "--force"):
             force = True
             i += 1
+        elif t in ("-n", "--name"):
+            name = argv[i + 1]
+            i += 2
         elif t in ("-i", "--if-matched"):
             opts["ifmatched"] = True
             i += 1
         elif t in ("-pe", "--empty-csv-columns-are-null"):
             opts["pe"] = True
             i += 1
+        elif t in ("-pk", "--no-tile-size-limit"):
+            opts["no_tile_size_limit"] = True
+            i += 1
+        elif t in ("-pC", "--no-tile-compression"):
+            opts["no_tile_compression"] = True
+            i += 1
+        elif t in ("-x", "--exclude"):
+            opts.setdefault("exclude", []).append(argv[i + 1])
+            i += 2
+        elif t in ("-X", "--exclude-all"):
+            opts["exclude_all"] = True
+            i += 1
+        elif t in ("-j", "--feature-filter"):
+            opts["feature_filter"] = _json.loads(argv[i + 1])
+            i += 2
+        elif t in ("-J", "--feature-filter-file"):
+            opts["feature_filter"] = _json.loads(open(argv[i + 1]).read())
+            i += 2
         elif t in ("-l", "--layer"):
             opts.setdefault("keep_layers", []).append(argv[i + 1])
             i += 2
@@ -606,7 +634,7 @@ def join_main(argv) -> int:
         else:
             print(f"unsupported join option: {t}", file=sys.stderr)
             return 2
-    if out is None or not inputs:
+    if (out is None and outdir is None) or not inputs:
         print("usage: join -o out.mbtiles [-c attrs.csv] in.mbtiles ...",
               file=sys.stderr)
         return 2
@@ -623,11 +651,16 @@ def join_main(argv) -> int:
             per_key.setdefault(k, []).append(v)
     merged = {k: (v[0] if len(v) == 1 else merge_tile_streams(v))
               for k, v in per_key.items()}
-    if force and os.path.exists(out):
-        os.remove(out)
-    write_mbtiles(out, merged, {"name": os.path.basename(out),
-                                "format": "pbf"})
-    print(f"{len(merged)} tiles -> {out}", file=sys.stderr)
+    meta = {"name": name or os.path.basename(out or outdir), "format": "pbf"}
+    if out:
+        if force and os.path.exists(out):
+            os.remove(out)
+        write_mbtiles(out, merged, meta)
+    else:
+        from .io.dirtiles import write_dirtiles
+
+        write_dirtiles(outdir, merged, meta, force=force)
+    print(f"{len(merged)} tiles -> {out or outdir}", file=sys.stderr)
     return 0
 
 
