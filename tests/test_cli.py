@@ -269,19 +269,64 @@ def test_cli_attribute_description_and_no_tilestats(tmp_path):
         assert _read(str(ref_out)) == _read(str(our_out))
 
 
-@requires_reference
-def test_cli_decode_smoke(tmp_path, capsys):
+def _decode_ours(args, capsys):
     from tippecanoe_spark.cli import main
 
-    out = tmp_path / "t.mbtiles"
-    rc = main(["-q", "-f", "-z3", "--local-runner", "-o", str(out),
-               f"{REF_TESTS}/muni/muni.json"])
-    assert rc == 0
-    rc = main(["decode", str(out)])
-    assert rc == 0
-    got = json.loads(capsys.readouterr().out)
-    n = sum(len(t["features"]) for t in got["features"])
-    assert got["type"] == "FeatureCollection" and n > 0
+    capsys.readouterr()  # drain
+    assert main(["decode"] + args) == 0
+    return capsys.readouterr().out
+
+
+def _decode_ref(args):
+    p = subprocess.run([os.path.join(REPO, ".refbuild", "tippecanoe-decode")]
+                       + args, capture_output=True, text=True, check=True)
+    return p.stdout
+
+
+@requires_reference
+def test_cli_decode_byte_identical(tmp_path, capsys):
+    """decode subcommand == tippecanoe-decode byte-for-byte: full
+    tileset, -c pipeline, -S stats, zoom range, layer filter,
+    metadata exclusion, and single-tile (with parent fallback) modes,
+    over point, line, and polygon tilesets with string and numeric
+    attributes."""
+    from tippecanoe_spark.cli import main
+
+    pts = tmp_path / "pts.mbtiles"
+    assert main(["-q", "-f", "-z4", "--local-runner", "-o", str(pts),
+                 f"{REF_TESTS}/muni/muni.json"]) == 0
+
+    feats = []
+    for i in range(40):
+        x0 = (i % 8) * 0.5 - 2
+        y0 = (i // 8) * 0.5 - 1
+        ring = [[x0, y0], [x0 + 0.5, y0], [x0 + 0.5, y0 + 0.5],
+                [x0, y0 + 0.5], [x0, y0]]
+        feats.append(json.dumps({
+            "type": "Feature",
+            "properties": {"i": i, "r": i + 0.25, "s": f"p{i}",
+                           "b": i % 2 == 0},
+            "geometry": {"type": "Polygon", "coordinates": [ring]}}))
+    psrc = tmp_path / "polys.json"
+    psrc.write_text("\n".join(feats))
+    pol = tmp_path / "pol.mbtiles"
+    assert main(["-q", "-f", "-z4", "--local-runner", "-l", "polys",
+                 "-o", str(pol), str(psrc)]) == 0
+
+    lns = tmp_path / "lns.mbtiles"
+    assert main(["-q", "-f", "-z6", "--local-runner", "-l", "in",
+                 "-o", str(lns), f"{REF_TESTS}/tl_2018_51685_roads/in.json"]) == 0
+
+    for ts in (pts, pol, lns):
+        for opts in ([], ["-c"], ["-S"], ["-Z", "2", "-z", "4"],
+                     ["-x", "name"], ["-l", "polys"]):
+            assert _decode_ours(opts + [str(ts)], capsys) == \
+                _decode_ref(opts + [str(ts)]), (ts, opts)
+    # single tile + parent fallback (requests a z6 child of a z4 tile)
+    assert _decode_ours([str(pts), "4", "2", "6"], capsys) == \
+        _decode_ref([str(pts), "4", "2", "6"])
+    assert _decode_ours([str(pts), "6", "10", "24"], capsys) == \
+        _decode_ref([str(pts), "6", "10", "24"])
 
 
 def test_cli_errors():

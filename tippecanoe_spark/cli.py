@@ -10,17 +10,15 @@ without rewriting their invocations:
 
 Subcommands:
     (default)  build a tileset (tippecanoe)
-    decode     print tiles as GeoJSON-ish JSON (tippecanoe-decode; a
-               readable dump, not byte-identical to the reference
-               decoder's formatting)
+    decode     tippecanoe-decode drop-in: same flags, byte-identical
+               output (incl. -c pipeline, -S stats, single-tile modes)
     join       tile-join: CSV attribute join / tileset merge
 
 Execution: the default path is the distributed Spark pipeline
 (io.geojson.geojson_files_df -> pipeline.build_tiles) on
 local[*] unless --spark-master says otherwise; --local-runner uses the
-single-process cascade (pipeline.build_tiles_local), which is also the
-automatic fallback when a guess flag (-zg / -Bg / -rg) needs the
-global in-memory scan the reference performs (main.cpp:1933-2240).
+single-process cascade (pipeline.build_tiles_local); -zg/-Bg/-rg
+guessing runs distributed (operators/guess.resolve_guesses_spark).
 """
 
 from __future__ import annotations
@@ -510,58 +508,266 @@ def build_main(argv) -> int:
 
 
 def decode_main(argv) -> int:
-    """Readable JSON dump of a tileset (tippecanoe-decode counterpart;
-    content-equivalent, not byte-formatted like the reference)."""
+    """tippecanoe-decode drop-in (decode.cpp): same flags, byte-exact
+    output (tests/test_cli.py holds full-tileset, -c pipeline, -S
+    stats, layer-filtered, and single-tile decodes identical to the
+    compiled reference decoder).  -s non-default projections are not
+    supported."""
     import gzip
-    import json
+    import sqlite3
 
+    from .core.jsonwriter import JsonWriter
     from .core.mvt import decode_tile, is_compressed
-    from .core.projection import tile2lonlat
-    from .io.dirtiles import read_dirtiles
-    from .io.mbtiles import read_mbtiles
+    from .operators.plugin import layer_to_geojson
 
-    if not argv:
-        print("usage: decode tiles.mbtiles|tiles_dir", file=sys.stderr)
+    minzoom, maxzoom = 0, 32
+    to_decode = set()
+    exclude_meta = set()
+    pipeline = stats = force = False
+    args = []
+    i = 0
+    while i < len(argv):
+        t = argv[i]
+        if t in ("-s", "--projection"):
+            if argv[i + 1] not in ("EPSG:4326", "4326"):
+                print("decode: only EPSG:4326 output supported",
+                      file=sys.stderr)
+                return 2
+            i += 2
+        elif t in ("-z", "--maximum-zoom"):
+            maxzoom = int(argv[i + 1])
+            i += 2
+        elif t in ("-Z", "--minimum-zoom"):
+            minzoom = int(argv[i + 1])
+            i += 2
+        elif t in ("-l", "--layer"):
+            to_decode.add(argv[i + 1])
+            i += 2
+        elif t in ("-c", "--tag-layer-and-zoom"):
+            pipeline = True
+            i += 1
+        elif t in ("-S", "--stats"):
+            stats = True
+            i += 1
+        elif t in ("-f", "--force"):
+            force = True
+            i += 1
+        elif t in ("-x", "--exclude-metadata-row"):
+            exclude_meta.add(argv[i + 1])
+            i += 2
+        elif not t.startswith("-"):
+            args.append(t)
+            i += 1
+        else:
+            print(f"unsupported decode option: {t}", file=sys.stderr)
+            return 2
+    if len(args) not in (1, 4):
+        print("usage: decode [-s projection] [-Z minzoom] [-z maxzoom] "
+              "[-l layer ...] file.mbtiles [zoom x y]", file=sys.stderr)
         return 2
-    path = argv[0]
-    tiles = read_dirtiles(path) if os.path.isdir(path) else read_mbtiles(path)
-    out = {"type": "FeatureCollection", "features": []}
-    import numpy as np
+    path = args[0]
 
-    for (z, x, y) in sorted(tiles):
-        data = tiles[(z, x, y)]
-        if is_compressed(data):
+    w = JsonWriter()
+
+    def handle(data: bytes, z: int, x: int, y: int):
+        was_compressed = is_compressed(data)
+        if was_compressed:
             data = gzip.decompress(data)
-        t = decode_tile(data)
-        tj = {"type": "FeatureCollection",
-              "properties": {"zoom": z, "x": x, "y": y}, "features": []}
-        for layer in t.layers:
-            scale = (1 << (32 - z)) / layer.extent
-            for f in layer.features:
-                coords = []
-                for op, gx, gy in f.geometry:
-                    if op in (1, 2):
-                        wx = np.int64(int((x * layer.extent + gx) * scale))
-                        wy = np.int64(int((y * layer.extent + gy) * scale))
-                        lon, lat = tile2lonlat(wx, wy, 32)
-                        coords.append([op, round(float(lon), 6),
-                                       round(float(lat), 6)])
-                    else:
-                        coords.append([op])
-                props = {}
-                for ki in range(0, len(f.tags), 2):
-                    v = layer.values[f.tags[ki + 1]]
-                    props[layer.keys[f.tags[ki]]] = (
-                        v.s if v.type == 0 else
-                        v.num if v.type in (1, 2) else
-                        v.i if v.type in (3, 4, 5) else v.b)
-                tj["features"].append({
-                    "type": "Feature", "layer": layer.name,
-                    "properties": props, "drawvec": coords,
-                })
-        out["features"].append(tj)
-    json.dump(out, sys.stdout, indent=1)
-    print()
+        tile = decode_tile(data)
+        if stats:
+            w.write_hash()
+            w.write_string("zoom")
+            w.write_signed(z)
+            w.write_string("x")
+            w.write_unsigned(x)
+            w.write_string("y")
+            w.write_unsigned(y)
+            w.write_string("bytes")
+            w.write_unsigned(len(data) if not was_compressed else _sizes[(z, x, y)])
+            w.write_string("compressed")
+            w.write_bool(was_compressed)
+            w.write_string("layers")
+            w.write_hash()
+            for layer in tile.layers:
+                w.write_string(layer.name)
+                pts = sum(1 for f in layer.features if f.type == 1)
+                lns = sum(1 for f in layer.features if f.type == 2)
+                pls = sum(1 for f in layer.features if f.type == 3)
+                w.write_hash()
+                w.write_string("points")
+                w.write_unsigned(pts)
+                w.write_string("lines")
+                w.write_unsigned(lns)
+                w.write_string("polygons")
+                w.write_unsigned(pls)
+                w.write_string("extent")
+                w.write_signed(layer.extent)
+                w.end_hash()
+            w.end_hash()
+            w.end_hash()
+            w.write_newline()
+            return
+        if not pipeline:
+            w.write_hash()
+            w.write_string("type")
+            w.write_string("FeatureCollection")
+            w.write_string("properties")
+            w.write_hash()
+            w.write_string("zoom")
+            w.write_signed(z)
+            w.write_string("x")
+            w.write_signed(x)
+            w.write_string("y")
+            w.write_signed(y)
+            if not was_compressed:
+                w.write_string("compressed")
+                w.write_bool(False)
+            w.end_hash()
+            w.write_string("features")
+            w.write_array()
+            w.write_newline()
+        first_layer = True
+        for layer in tile.layers:
+            if layer.extent <= 0:
+                raise ValueError(f"Impossible layer extent {layer.extent}")
+            if to_decode and layer.name not in to_decode:
+                continue
+            if not pipeline:
+                if not first_layer:
+                    w.comma()
+                w.write_hash()
+                w.write_string("type")
+                w.write_string("FeatureCollection")
+                w.write_string("properties")
+                w.write_hash()
+                w.write_string("layer")
+                w.write_string(layer.name)
+                w.write_string("version")
+                w.write_signed(layer.version)
+                w.write_string("extent")
+                w.write_signed(layer.extent)
+                w.end_hash()
+                w.write_string("features")
+                w.write_array()
+                w.write_newline()
+                first_layer = False
+            layer_to_geojson(w, layer, z, x, y, comma=not pipeline,
+                             name=pipeline, zoom=pipeline, dropped=False)
+            if not pipeline:
+                w.end_array()
+                w.end_hash()
+                w.write_newline()
+        if not pipeline:
+            w.end_array()
+            w.end_hash()
+            w.write_newline()
+
+    # enumerate tiles + metadata (mbtiles or dirtiles)
+    _sizes = {}
+    if os.path.isdir(path):
+        import json as _json
+
+        meta_rows = []
+        mj = os.path.join(path, "metadata.json")
+        if os.path.exists(mj):
+            meta_rows = sorted(_json.load(open(mj)).items())
+
+        def tiles_iter():
+            from .io.dirtiles import read_dirtiles
+
+            td = read_dirtiles(path)
+            for (z, x, y) in sorted(td):
+                if minzoom <= z <= maxzoom:
+                    yield z, x, y, td[(z, x, y)]
+    else:
+        db = sqlite3.connect(path)
+        meta_rows = list(db.execute(
+            "SELECT name, value from metadata order by name;"))
+
+        def tiles_iter():
+            for data, tz, tx, trow in db.execute(
+                    "SELECT tile_data, zoom_level, tile_column, tile_row "
+                    "from tiles where zoom_level between ? and ? "
+                    "order by zoom_level, tile_column, tile_row;",
+                    (minzoom, maxzoom)):
+                yield tz, tx, (1 << tz) - 1 - trow, bytes(data)
+
+    if len(args) == 4:
+        z, x, y = int(args[1]), int(args[2]), int(args[3])
+        oz, ox, oy = z, x, y
+        if os.path.isdir(path):
+            from .io.dirtiles import read_dirtiles
+
+            td = read_dirtiles(path)
+            get = lambda z_, x_, y_: td.get((z_, x_, y_))
+        else:
+            def get(z_, x_, y_):
+                row = db.execute(
+                    "SELECT tile_data from tiles where zoom_level = ? and "
+                    "tile_column = ? and tile_row = ?;",
+                    (z_, x_, (1 << z_) - 1 - y_)).fetchone()
+                return bytes(row[0]) if row else None
+        while z >= 0:
+            data = get(z, x, y)
+            if data is not None:
+                if z != oz:
+                    print(f"{path}: Warning: using tile {z}/{x}/{y} "
+                          f"instead of {oz}/{ox}/{oy}", file=sys.stderr)
+                _sizes[(z, x, y)] = len(data)
+                handle(data, z, x, y)
+                break
+            z -= 1
+            x //= 2
+            y //= 2
+        sys.stdout.write(w.getvalue())
+        return 0
+
+    within = False
+    if not pipeline and not stats:
+        w.write_hash()
+        w.write_string("type")
+        w.write_string("FeatureCollection")
+        w.write_string("properties")
+        w.write_hash()
+        w.write_newline()
+        for name, value in meta_rows:
+            if name in exclude_meta:
+                continue
+            if within:
+                w.comma()
+            within = True
+            w.write_string(str(name))
+            w.write_string(str(value))
+        w.write_newline()
+        w.wantnl = False  # XXX (decode.cpp:327)
+        w.end_hash()
+        w.write_string("features")
+        w.write_array()
+        w.write_newline()
+    if stats:
+        w.write_array()
+        w.write_newline()
+
+    within = False
+    for z, x, y, data in tiles_iter():
+        if not pipeline and within:
+            w.comma()
+        if stats and within:
+            w.comma()
+        within = True
+        _sizes[(z, x, y)] = len(data)
+        handle(data, z, x, y)
+
+    if not pipeline and not stats:
+        w.end_array()
+        w.end_hash()
+        w.write_newline()
+    if stats:
+        w.end_array()
+        w.write_newline()
+    if pipeline:
+        w.write_newline()
+    sys.stdout.write(w.getvalue())
     return 0
 
 

@@ -50,6 +50,23 @@ def _c_round(v: float) -> float:
 
 def _write_props(w: JsonWriter, keys, vtypes, values):
     for k, vt, sv in zip(keys, vtypes, values):
+        # already-typed values (DECODED tiles: the MVT narrow types)
+        # must not re-enter stringified_to_mvt_value, which types from
+        # the JSON grammar (T_DOUBLE/T_BOOL/T_STRING/T_NULL) and would
+        # quote integers (write_json.cpp write_value dispatches on the
+        # mvt type directly)
+        if vt == M.T_INT or vt == M.T_SINT:
+            w.write_string(k)
+            w.write_signed(int(sv))
+            continue
+        if vt == M.T_UINT:
+            w.write_string(k)
+            w.write_unsigned(int(sv))
+            continue
+        if vt == M.T_FLOAT:
+            w.write_string(k)
+            w.write_number(float(sv))
+            continue
         val = M.stringified_to_mvt_value(vt, sv)
         if val.type == M.T_STRING:
             w.write_string(k)
@@ -207,7 +224,7 @@ def _write_geometry(w: JsonWriter, t, ops, pxs, pys, z, x, y, extent):
 def feature_to_geojson(w: JsonWriter, layername, t, ops, pxs, pys, z, x, y,
                        extent, keys, vtypes, values, has_id, fid,
                        write_name=True, dropped=None, index=0, sequence=0,
-                       f_extent=0):
+                       f_extent=0, zoom=False):
     """One feature of layer_to_geojson (write_json.cpp:250-604)."""
     w.write_hash()
     w.write_string("type")
@@ -215,12 +232,17 @@ def feature_to_geojson(w: JsonWriter, layername, t, ops, pxs, pys, z, x, y,
     if has_id:
         w.write_string("id")
         w.write_unsigned(fid)
-    if write_name or index != 0 or sequence != 0 or f_extent != 0:
+    if write_name or zoom or index != 0 or sequence != 0 or f_extent != 0:
         w.write_string("tippecanoe")
         w.write_hash()
         if write_name:
             w.write_string("layer")
             w.write_string(layername)
+        if zoom:
+            w.write_string("minzoom")
+            w.write_unsigned(z)
+            w.write_string("maxzoom")
+            w.write_unsigned(z)
         if dropped is not None:
             w.write_string("dropped")
             w.write_bool(dropped)
@@ -413,6 +435,46 @@ def prefilter_tile(clipped, z, tx, ty, cfg):
             sequence=seq, f_extent=row["extent"])
     filtered = run_filter(cfg.prefilter, z, tx, ty, w.getvalue())
     return parse_prefilter_features(filtered, z, tx, ty, cfg)
+
+
+def decoded_feature_fields(layer, feat):
+    """Split a DECODED MvtFeature back into feature_to_geojson inputs
+    (ops/coords + stringified attribute triples)."""
+    ops = np.asarray([gg[0] for gg in feat.geometry], dtype=np.uint8)
+    pxs = np.asarray([gg[1] for gg in feat.geometry], dtype=np.int64)
+    pys = np.asarray([gg[2] for gg in feat.geometry], dtype=np.int64)
+    keys, vtypes, values = [], [], []
+    for ti in range(0, len(feat.tags) - 1, 2):
+        keys.append(layer.keys[feat.tags[ti]])
+        val = layer.values[feat.tags[ti + 1]]
+        vtypes.append(val.type)
+        if val.type == M.T_STRING:
+            values.append(val.s)
+        elif val.type == M.T_BOOL:
+            values.append("true" if val.b else "false")
+        elif val.type in (M.T_INT, M.T_SINT, M.T_UINT):
+            values.append(str(val.i))
+        else:
+            from ..core.dtoa import dtoa_milo
+
+            values.append(dtoa_milo(val.num))
+    return ops, pxs, pys, keys, vtypes, values
+
+
+def layer_to_geojson(w: JsonWriter, layer, z, x, y, comma: bool,
+                     name: bool, zoom: bool, dropped: bool = False):
+    """write_json.cpp:250-604 over a DECODED MvtLayer.  `dropped` is the
+    flag (decode passes false; -c pipeline passes true and decoded
+    features are never dropped, so the value written is always false)."""
+    for feat in layer.features:
+        ops, pxs, pys, keys, vtypes, values = decoded_feature_fields(layer, feat)
+        feature_to_geojson(
+            w, layer.name, feat.type, ops, pxs, pys, z, x, y,
+            layer.extent, keys, vtypes, values, feat.has_id, feat.id,
+            write_name=name, dropped=(False if dropped else None), zoom=zoom)
+        if comma:
+            w.write_newline()
+            w.comma()
 
 
 def postfilter_tile(tile, z, tx, ty, extent, cfg):
