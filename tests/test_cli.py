@@ -329,6 +329,23 @@ def test_cli_decode_byte_identical(tmp_path, capsys):
         _decode_ref([str(pts), "6", "10", "24"])
 
 
+@requires_reference
+def test_cli_enumerate_byte_identical(tmp_path, capsys):
+    en = os.path.join(REPO, ".refbuild", "tippecanoe-enumerate")
+    if not os.path.exists(en):
+        pytest.skip("enumerate binary not built")
+    from tippecanoe_spark.cli import main
+
+    out = tmp_path / "e.mbtiles"
+    assert main(["-q", "-f", "-z4", "--local-runner", "-o", str(out),
+                 f"{REF_TESTS}/muni/muni.json"]) == 0
+    ref = subprocess.run([en, str(out)], capture_output=True, text=True,
+                         check=True).stdout
+    capsys.readouterr()
+    assert main(["enumerate", str(out)]) == 0
+    assert capsys.readouterr().out == ref
+
+
 def test_cli_errors():
     from tippecanoe_spark.cli import main
 

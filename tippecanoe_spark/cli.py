@@ -13,6 +13,7 @@ Subcommands:
     decode     tippecanoe-decode drop-in: same flags, byte-identical
                output (incl. -c pipeline, -S stats, single-tile modes)
     join       tile-join: CSV attribute join / tileset merge
+    enumerate  tippecanoe-enumerate drop-in (tile listing)
 
 Execution: the default path is the distributed Spark pipeline
 (io.geojson.geojson_files_df -> pipeline.build_tiles) on
@@ -870,12 +871,37 @@ def join_main(argv) -> int:
     return 0
 
 
+def enumerate_main(argv) -> int:
+    """tippecanoe-enumerate drop-in (enumerate.cpp): one
+    "<file> <z> <x> <y>" line per tile, mbtiles TMS order, y flipped."""
+    import sqlite3
+
+    if not argv or any(a.startswith("-") for a in argv):
+        print("usage: enumerate file.mbtiles ...", file=sys.stderr)
+        return 2
+    for fname in argv:
+        db = sqlite3.connect(fname)
+        for zoom, x, row in db.execute(
+                "SELECT zoom_level, tile_column, tile_row from tiles "
+                "order by zoom_level, tile_column, tile_row;"):
+            if zoom < 0 or zoom > 31:
+                print(f"Corrupt mbtiles file: impossible zoom level {zoom}",
+                      file=sys.stderr)
+                return 1
+            y = (1 << zoom) - 1 - row
+            sys.stdout.write(f"{fname} {zoom} {x} {y}\n")
+        db.close()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "decode":
         return decode_main(argv[1:])
     if argv and argv[0] == "join":
         return join_main(argv[1:])
+    if argv and argv[0] == "enumerate":
+        return enumerate_main(argv[1:])
     return build_main(argv)
 
 
