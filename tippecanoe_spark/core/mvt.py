@@ -334,30 +334,38 @@ def encode_geometry(geometry) -> list:
     return out
 
 
+def _add_tagged_bytes(buf: bytearray, tag_byte: int, b) -> None:
+    """Length-delimited field with a precomputed single-byte tag (every
+    MVT field number is < 16, so (num << 3) | wire always fits)."""
+    buf.append(tag_byte)
+    _write_varint(buf, len(b))
+    buf += b
+
+
 def encode_tile(tile: MvtTile) -> bytes:
     data = bytearray()
     for layer in tile.layers:
         lbuf = bytearray()
-        _field(lbuf, 15, 0)
+        lbuf.append(0x78)  # field 15 varint: version
         _write_varint(lbuf, layer.version)
-        _add_string(lbuf, 1, layer.name)
-        _field(lbuf, 5, 0)
+        _add_tagged_bytes(lbuf, 0x0A, layer.name.encode("utf-8"))  # 1: name
+        lbuf.append(0x28)  # field 5 varint: extent
         _write_varint(lbuf, layer.extent)
         for k in layer.keys:
-            _add_string(lbuf, 3, k)
+            _add_tagged_bytes(lbuf, 0x1A, k.encode("utf-8"))  # 3: key
         for v in layer.values:
-            _add_string(lbuf, 4, _encode_value(v))
+            _add_tagged_bytes(lbuf, 0x22, _encode_value(v))  # 4: value
         for f in layer.features:
             fbuf = bytearray()
-            _field(fbuf, 3, 0)
+            fbuf.append(0x18)  # field 3 varint: type
             _write_varint(fbuf, f.type)
             _encode_packed(fbuf, 2, f.tags)
             if f.has_id:
-                _field(fbuf, 1, 0)
+                fbuf.append(0x08)  # field 1 varint: id
                 _write_varint(fbuf, f.id)
             _encode_packed(fbuf, 4, encode_geometry(f.geometry))
-            _add_string(lbuf, 2, bytes(fbuf))
-        _add_string(data, 3, bytes(lbuf))
+            _add_tagged_bytes(lbuf, 0x12, fbuf)  # 2: feature
+        _add_tagged_bytes(data, 0x1A, lbuf)  # 3: layer
     return bytes(data)
 
 
