@@ -339,6 +339,12 @@ def _split_args(argv):
             i += 2
         elif t in ("-t", "--temporary-directory"):
             i += 2  # accepted for compatibility; Spark manages temp space
+        elif t in ("-U", "--progress-interval"):
+            i += 2  # accepted for compatibility; builds run quiet
+        elif t in ("-v", "--version"):
+            # option-compatible with the reference (main.cpp VERSION)
+            print("tippecanoe v1.36.0 (tippecanoe-spark)", file=sys.stderr)
+            raise SystemExit(0)
         elif t in ("-f", "--force"):
             eng["force"] = True
             i += 1
