@@ -1,0 +1,154 @@
+"""Streaming tileset maintenance (streaming/maintenance.py): after
+every micro-batch the maintained tileset must be BYTE-identical to a
+full batch rebuild over all features so far — including rank-shifting
+out-of-order arrivals — and in-order appends must rebuild only a small
+affected subset."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tippecanoe_spark.config import TileConfig
+from tippecanoe_spark.io.geojson import feature_records
+from tippecanoe_spark.pipeline import build_tiles_local
+from tippecanoe_spark.streaming.maintenance import TileMaintainer
+
+
+def _muni(cfg):
+    return feature_records(
+        open("/root/reference/tests/muni/muni.json").read(), "muni", cfg)
+
+
+def test_stream_equals_batch_random_batches():
+    cfg = TileConfig(maxzoom=5)
+    feats = _muni(cfg)
+    # interleave so later batches insert LOWER ix values (rank shifts)
+    import random
+
+    rng = random.Random(11)
+    rng.shuffle(feats)
+    cuts = [0, len(feats) // 3, 2 * len(feats) // 3, len(feats)]
+
+    m = TileMaintainer(cfg)
+    seen: list = []
+    for i in range(3):
+        batch = feats[cuts[i]: cuts[i + 1]]
+        seen += [dict(f) for f in batch]
+        m.apply_batch(batch)
+        want = build_tiles_local([dict(f) for f in seen], cfg)
+        assert m.tiles == want, f"divergence after batch {i}"
+
+
+def test_stream_mixed_geometry_equals_batch():
+    cfg = TileConfig(maxzoom=4)
+    text = open("/root/reference/tests/tl_2018_51685_roads/in.json").read()
+    feats = feature_records(text, "in", cfg)[:400]
+    m = TileMaintainer(cfg)
+    half = len(feats) // 2
+    m.apply_batch(feats[:half])
+    m.apply_batch(feats[half:])
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles == want
+
+
+def test_in_order_appends_touch_few_tiles():
+    """A localized batch whose quadkeys sort after everything already
+    stored (the south-east corner is the quadkey maximum) shifts no
+    ranks, so only the tiles around the new points rebuild."""
+    import json
+    import random
+
+    rng = random.Random(3)
+    cfg = TileConfig(maxzoom=6)
+
+    def mk(lon, lat, i):
+        return json.dumps({
+            "type": "Feature", "properties": {"i": i},
+            "geometry": {"type": "Point",
+                         "coordinates": [round(lon, 6), round(lat, 6)]}})
+
+    world = [mk(rng.uniform(-170, 150), rng.uniform(-60, 70), i)
+             for i in range(400)]
+    corner = [mk(rng.uniform(170, 175), rng.uniform(-80, -75), 400 + i)
+              for i in range(10)]
+    feats = feature_records("\n".join(world + corner), "pts", cfg)
+    n_world = 400
+
+    m = TileMaintainer(cfg)
+    m.apply_batch(feats[:n_world])
+    total = len(m.tiles)
+    affected = m.apply_batch(feats[n_world:])
+    assert len(affected) < total // 2, (len(affected), total)
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles == want
+
+
+def test_stream_dateline_features_equal_batch():
+    """Edge-buffer features duplicate across the date line at z0; the
+    affected-set must cover the wrapped copies."""
+    import json
+
+    cfg = TileConfig(maxzoom=4)
+    pts = [json.dumps({"type": "Feature", "properties": {"i": i},
+                       "geometry": {"type": "Point",
+                                    "coordinates": [lon, 10.0 + i]}})
+           for i, lon in enumerate([-179.9, -20.0, 40.0])]
+    tail = [json.dumps({"type": "Feature", "properties": {"i": 99},
+                        "geometry": {"type": "Point",
+                                     "coordinates": [179.95, -10.0]}})]
+    feats = feature_records("\n".join(pts + tail), "pts", cfg)
+    m = TileMaintainer(cfg)
+    m.apply_batch(feats[:3])
+    m.apply_batch(feats[3:])
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles == want
+
+
+def test_foreach_batch_sink_structured_streaming(tmp_path):
+    """End-to-end Structured Streaming: feature micro-batches arrive
+    through readStream(parquet) -> writeStream.foreachBatch, and the
+    maintained tileset equals the batch build."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tippecanoe_spark.pipeline import (FEATURE_SCHEMA_DDL,
+                                           _pdf_rows_to_dicts,
+                                           features_to_pdf)
+    from tippecanoe_spark.session import get_spark
+    from tippecanoe_spark.streaming.maintenance import foreach_batch_sink
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    cfg = TileConfig(maxzoom=4)
+    feats = _muni(cfg)[:400]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf = features_to_pdf(feats)
+    spark.createDataFrame(pdf.iloc[:200], schema=FEATURE_SCHEMA_DDL) \
+        .write.parquet(str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[200:], schema=FEATURE_SCHEMA_DDL) \
+        .write.parquet(str(src / "b1"))
+
+    m = TileMaintainer(cfg)
+    q = (spark.readStream.schema(FEATURE_SCHEMA_DDL)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(str(src / "*"))
+         .writeStream
+         .foreachBatch(foreach_batch_sink(
+             m, lambda bdf: _pdf_rows_to_dicts(bdf.toPandas())))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles == want
+
+
+def test_guard_rejects_zoom_global_modes():
+    with pytest.raises(NotImplementedError):
+        TileMaintainer(TileConfig(maxzoom=5, drop_densest=True))
