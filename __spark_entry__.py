@@ -460,10 +460,13 @@ def q_ann_lsh(spark, sf_dir):
     and candidates per query — stays ~constant as N grows, then exact
     quantized-cosine re-rank over the deduped candidate union.  Hash
     joins on (band, bucket) only; no crossJoin."""
-    from tippecanoe_spark.operators.ann import ann_lsh_topk
+    from tippecanoe_spark.operators.ann import ann_lsh_topk, parquet_row_count
 
     emb = _load(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, k=3, bands=4)
+    # corpus size from parquet footers (driver metadata read) so the
+    # whole query is ONE Spark job — no sizing count() scan
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, k=3, bands=4, n=n)
 
 
 def q_knn_cell(spark, sf_dir):

@@ -184,10 +184,12 @@ def main():
 
     # ANN LSH candidate accounting (the sublinearity evidence: planes
     # scale with corpus size, so candidates/query stays ~bounded)
-    from tippecanoe_spark.operators.ann import ann_lsh_candidate_stats
+    from tippecanoe_spark.operators.ann import (ann_lsh_candidate_stats,
+                                                parquet_row_count)
 
     ann_stats = ann_lsh_candidate_stats(
-        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        n=parquet_row_count(f"{SF_DIR}/embeddings.parquet"))
 
     # shuffle-row reduction from the witness-lemma shrink on a z0-z8
     # --drop-densest-as-needed build (the as-needed modes disable the

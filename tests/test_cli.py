@@ -190,6 +190,37 @@ def test_cli_guess_flags_spark_match_reference(tmp_path):
 
 
 @requires_reference
+def test_cli_guess_flags_hilbert_match_reference(tmp_path):
+    """-ah combined with -zg/-Bg/-rg: with --hilbert the ix column is
+    hilbert-encoded, so the guess scans must decode/encode through the
+    hilbert curve (main.cpp:3051-3054 dispatch; serial.cpp:468,
+    main.cpp:2059).  Byte-identical tiles + guessed maxzoom through
+    both the Spark estimators and the local ones.  The wraparound
+    fixture has teeth here: decoding its hilbert indexes as quadkeys
+    guesses maxzoom 9 instead of the correct 10."""
+    import sqlite3
+
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/wraparound/in.json"
+    ref_out = tmp_path / "ref.mbtiles"
+    subprocess.run([REFBIN, "-q", "-f", "-ah", "-zg", "-Bg", "-rg",
+                    "-o", str(ref_out), src], check=True, capture_output=True)
+    ref = _read(str(ref_out))
+    ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
+        "select name, value from metadata"))
+    for extra in (["--spark-master", "local[4]"], ["--local-runner"]):
+        our_out = tmp_path / "ours.mbtiles"
+        rc = main(["-q", "-f", "-ah", "-zg", "-Bg", "-rg", *extra,
+                   "-o", str(our_out), src])
+        assert rc == 0
+        assert ref == _read(str(our_out)), extra
+        our_meta = dict(sqlite3.connect(str(our_out)).execute(
+            "select name, value from metadata"))
+        assert our_meta["maxzoom"] == ref_meta["maxzoom"], extra
+
+
+@requires_reference
 @requires_tilejoin
 def test_cli_join_option_matrix_matches_reference(tmp_path):
     """join subcommand flags (-x, -X, -pC, -R rename) byte-identical to
@@ -344,6 +375,29 @@ def test_cli_enumerate_byte_identical(tmp_path, capsys):
     capsys.readouterr()
     assert main(["enumerate", str(out)]) == 0
     assert capsys.readouterr().out == ref
+
+
+@requires_reference
+def test_cli_build_spark_dirtiles_matches_reference(tmp_path):
+    """Spark path with -e: distributed foreachPartition writes
+    (io.dirtiles.write_dirtiles_spark), byte-identical tiles and the
+    same derived metadata.json fields as the reference's -e export."""
+    from tippecanoe_spark.cli import main
+    from tippecanoe_spark.io.dirtiles import read_dirtiles
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    ref_out = tmp_path / "ref_dir"
+    our_out = tmp_path / "our_dir"
+    subprocess.run([REFBIN, "-q", "-f", "-z4", "-e", str(ref_out), src],
+                   check=True, capture_output=True)
+    rc = main(["-q", "-f", "-z4", "--spark-master", "local[4]",
+               "-e", str(our_out), src])
+    assert rc == 0
+    assert read_dirtiles(str(ref_out)) == read_dirtiles(str(our_out))
+    ref_meta = json.load(open(ref_out / "metadata.json"))
+    our_meta = json.load(open(our_out / "metadata.json"))
+    for k in ("minzoom", "maxzoom", "bounds", "center", "format"):
+        assert our_meta[k] == ref_meta[k], (k, ref_meta[k], our_meta[k])
 
 
 def test_cli_errors():

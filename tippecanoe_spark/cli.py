@@ -444,8 +444,7 @@ def build_main(argv) -> int:
 
     needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
                    or cfg.droprate < 0)
-    if eng["local"] or cfg.one_tile is not None:
-        # --one-tile is a single-tile debug build
+    if eng["local"]:
         from .io.geojson import features_from_file
 
         la = layer_arg()
@@ -487,13 +486,61 @@ def build_main(argv) -> int:
                                       cfg.basezoom, cfg.droprate)
             layers = collect_layer_stats_spark(df)
             file_bbox = _file_bbox_spark(spark, eng["inputs"], parse_cfg, la)
-            tiles = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
-                     for r in build_tiles(spark, df, cfg).collect()}
+            tiles_df = build_tiles(spark, df, cfg)
+
+            # streaming export: the tileset never lands on the driver as
+            # a dict.  mbtiles is single-writer (one sqlite file,
+            # mbtiles.cpp db_lock) so tiles stream through
+            # toLocalIterator one partition at a time; dirtiles writes
+            # run distributed in the executors.  Both accumulate the
+            # busiest-maxzoom-tile stat for metadata on the way through.
+            if eng["output"]:
+                from pyspark import StorageLevel
+
+                from .io.mbtiles import (write_mbtiles_metadata,
+                                         write_mbtiles_stream)
+
+                if eng["force"] and os.path.exists(eng["output"]):
+                    os.remove(eng["output"])
+                # materialize the pyramid in PARALLEL (count on a
+                # disk-spillable cache), then stream the cached
+                # partitions to the single sqlite writer one at a time —
+                # toLocalIterator alone would run the encode jobs
+                # serially per partition
+                tiles_df = tiles_df.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    tiles_df.count()
+                    n_tiles, busiest = write_mbtiles_stream(
+                        eng["output"],
+                        ((r["z"], r["x"], r["y"], r["tile"])
+                         for r in tiles_df.toLocalIterator()),
+                        maxzoom=cfg.maxzoom)
+                finally:
+                    tiles_df.unpersist()
+            else:
+                from .io.dirtiles import write_dirtiles_spark
+
+                n_tiles, busiest = write_dirtiles_spark(
+                    tiles_df, eng["outdir"], force=eng["force"],
+                    maxzoom=cfg.maxzoom)
         finally:
             df.unpersist()
-        meta = build_metadata([], tiles, cfg, name=name,
+        meta = build_metadata([], {}, cfg, name=name,
                               description=eng["description"],
-                              layers=layers, file_bbox=file_bbox)
+                              layers=layers, file_bbox=file_bbox,
+                              busiest=busiest)
+        if eng["attribution"]:
+            meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359
+        if eng["output"]:
+            write_mbtiles_metadata(eng["output"], meta)
+        else:
+            from .io.dirtiles import write_dirtiles
+
+            write_dirtiles(eng["outdir"], {}, meta, force=True)
+        if not eng["quiet"]:
+            print(f"{n_tiles} tiles -> {eng['output'] or eng['outdir']}",
+                  file=sys.stderr)
+        return 0
 
     if eng["attribution"]:
         meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359

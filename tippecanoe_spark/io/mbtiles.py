@@ -15,6 +15,22 @@ from ..core import mvt as M
 
 def write_mbtiles(path: str, tiles: dict, metadata: dict | None = None) -> None:
     """tiles: {(z, x, y): bytes} with y in XYZ (non-flipped) orientation."""
+    write_mbtiles_stream(
+        path, ((z, x, y, data) for (z, x, y), data in sorted(tiles.items())))
+    if metadata:
+        write_mbtiles_metadata(path, metadata)
+
+
+def write_mbtiles_stream(path: str, tile_iter, maxzoom: int | None = None):
+    """Stream (z, x, y, bytes) tuples into the tiles table, one tile in
+    memory at a time (the mbtiles file is inherently single-writer —
+    mbtiles.cpp:2510-2527 db_lock semantics — so a sequential driver-side
+    stream IS the scalable shape; tile production stays distributed).
+
+    Returns (n_tiles, (midx, midy)): the count and the busiest tile at
+    ``maxzoom`` by compressed size, ties to the smaller packed (x, y)
+    (tile.cpp:2598-2613) — accumulated during the stream so metadata can
+    be written afterwards without holding the tileset."""
     db = sqlite3.connect(path)
     cur = db.cursor()
     cur.execute("CREATE TABLE IF NOT EXISTS metadata (name text, value text)")
@@ -25,12 +41,29 @@ def write_mbtiles(path: str, tiles: dict, metadata: dict | None = None) -> None:
     cur.execute(
         "CREATE UNIQUE INDEX IF NOT EXISTS tile_index ON tiles (zoom_level, tile_column, tile_row)"
     )
-    for (z, x, y), data in sorted(tiles.items()):
+    n = 0
+    most = 0
+    midx = midy = 0
+    for z, x, y, data in tile_iter:
+        data = bytes(data)
         cur.execute(
             "INSERT INTO tiles (zoom_level, tile_column, tile_row, tile_data) VALUES (?, ?, ?, ?)",
             (z, x, (1 << z) - 1 - y, sqlite3.Binary(data)),
         )
-    for k, v in (metadata or {}).items():
+        n += 1
+        if maxzoom is not None and z == maxzoom:
+            sz = len(data)
+            if sz > most or (sz == most and ((x << 32) | y) < ((midx << 32) | midy)):
+                midx, midy, most = x, y, sz
+    db.commit()
+    db.close()
+    return n, (midx, midy)
+
+
+def write_mbtiles_metadata(path: str, metadata: dict) -> None:
+    db = sqlite3.connect(path)
+    cur = db.cursor()
+    for k, v in metadata.items():
         cur.execute("INSERT OR REPLACE INTO metadata (name, value) VALUES (?, ?)", (k, str(v)))
     db.commit()
     db.close()

@@ -35,6 +35,26 @@ def planes_for(n: int, occupancy: int = 64) -> int:
     return max(4, math.ceil(math.log2(n / occupancy)))
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact corpus size from parquet footers — a driver-side metadata
+    read (no Spark job), so sizing the LSH planes never costs a scan.
+    Accepts a single file or a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+
+
 def _quant(col: str) -> str:
     return (f"CAST(floor(CAST({col} AS DOUBLE) * 1000000) AS BIGINT)")
 
@@ -76,6 +96,9 @@ def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
     from pyspark.sql.window import Window
 
     if planes is None:
+        # sizing needs the corpus count; pass n (e.g. from
+        # parquet_row_count — a footer read, no job) so the query stays
+        # a single Spark job.  count() is the documented last resort.
         planes = planes_for(n if n is not None else emb.count())
 
     bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]

@@ -23,9 +23,21 @@ import math
 import numpy as np
 
 from ..config import TileConfig
-from ..core.projection import bbox_index, decode_quadkey, encode_quadkey
+from ..core.projection import (bbox_index, decode_hilbert, decode_quadkey,
+                               encode_hilbert, encode_quadkey)
 
 MAX_ZOOM = 24
+
+
+def _index_codec(cfg: TileConfig):
+    """encode_index/decode_index dispatch (main.cpp:3051-3054): with
+    --hilbert the ix column IS hilbert-encoded (serial.cpp:468,
+    main.cpp:2059 go through the same dispatch), so every guess scan
+    must encode and decode with the same curve or the busiest-tile
+    rollup and within-feature distances read garbage coordinates."""
+    if cfg.use_hilbert:
+        return encode_hilbert, decode_hilbert
+    return encode_quadkey, decode_quadkey
 
 
 def _sorted_ix(features) -> np.ndarray:
@@ -40,6 +52,7 @@ def _sorted_ix(features) -> np.ndarray:
 def _within_feature_dist(features, cfg: TileConfig):
     """serial.cpp:464-489: per feature, sorted point quadkeys, sum of
     log(gaps) between distinct locations -> (dist_sum, dist_count)."""
+    enc, _dec = _index_codec(cfg)
     dist_sum = 0.0
     dist_count = 0
     for f in features:
@@ -47,7 +60,7 @@ def _within_feature_dist(features, cfg: TileConfig):
         m = ops != 7
         if m.sum() < 2:
             continue
-        locs = np.sort(encode_quadkey(
+        locs = np.sort(enc(
             np.asarray(f["xs"])[m].astype(np.uint64),
             np.asarray(f["ys"])[m].astype(np.uint64)))
         gaps = np.diff(locs)
@@ -117,8 +130,9 @@ def guess_basezoom_droprate(features, cfg: TileConfig, maxzoom: int,
     basezoom/droprate arrive as -1 when they should be guessed."""
     from ..operators.tiler import manage_gap
 
+    _enc, dec = _index_codec(cfg)
     ix = _sorted_ix(features)
-    xs, ys = decode_quadkey(ix)
+    xs, ys = dec(ix)
     xs = xs.astype(np.uint64)
     ys = ys.astype(np.uint64)
 
@@ -291,6 +305,8 @@ def _gap_stats_spark(df):
 
 def _within_feature_dist_spark(df, cfg: TileConfig):
     """Distributed serial.cpp:464-489 accumulation (per-feature local)."""
+    enc, _dec = _index_codec(cfg)
+
     def part(it):
         import pandas as pd
 
@@ -302,7 +318,7 @@ def _within_feature_dist_spark(df, cfg: TileConfig):
                 m = ops != 7
                 if m.sum() < 2:
                     continue
-                locs = np.sort(encode_quadkey(
+                locs = np.sort(enc(
                     np.frombuffer(xs_b, dtype=np.int64)[m].astype(np.uint64),
                     np.frombuffer(ys_b, dtype=np.int64)[m].astype(np.uint64)))
                 gaps = np.diff(locs)
@@ -362,6 +378,7 @@ def _zoom_max_counts_spark(df, cfg: TileConfig):
     from pyspark.sql import functions as F
 
     gamma = cfg.gamma
+    _enc, dec = _index_codec(cfg)
 
     if gamma > 0:
         # per (z, tile) ordered gap scan — the state is tile-local, so
@@ -373,7 +390,7 @@ def _zoom_max_counts_spark(df, cfg: TileConfig):
 
             for pdf in it:
                 ixu = _unsigned_ix_np(pdf["ix"].to_numpy())
-                xs, ys = decode_quadkey(ixu)
+                xs, ys = dec(ixu)
                 xs = xs.astype(np.uint64)
                 ys = ys.astype(np.uint64)
                 for z in range(MAX_ZOOM + 1):
@@ -421,7 +438,7 @@ def _zoom_max_counts_spark(df, cfg: TileConfig):
 
         for pdf in it:
             ixu = _unsigned_ix_np(pdf["ix"].to_numpy())
-            xs, ys = decode_quadkey(ixu)
+            xs, ys = dec(ixu)
             xs = xs.astype(np.uint64)
             ys = ys.astype(np.uint64)
             frames = []

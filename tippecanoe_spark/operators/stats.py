@@ -309,8 +309,13 @@ def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
 
 def build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
                    description: str | None = None, layers: dict | None = None,
-                   file_bbox=None) -> dict:
-    """Full metadata dict for write_mbtiles (main.cpp:2297-2334)."""
+                   file_bbox=None, busiest=None) -> dict:
+    """Full metadata dict for write_mbtiles (main.cpp:2297-2334).
+
+    ``busiest``: optional (midx, midy) of the biggest maxzoom tile,
+    pre-accumulated by a streaming writer (write_mbtiles_stream /
+    write_dirtiles_spark) so the tileset never has to be held in a
+    dict."""
     if layers is None:
         layers = collect_layer_stats(features)
 
@@ -329,16 +334,19 @@ def build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
 
     # busiest maxzoom tile by compressed byte size, ties to the smaller
     # packed (x, y) (tile.cpp:2598-2613)
-    most = 0
-    midx = midy = 0
-    for (z, x, y) in sorted(tiles):
-        if z != cfg.maxzoom:
-            continue
-        n = len(tiles[(z, x, y)])
-        if n > most:
-            midx, midy, most = x, y, n
-        elif n == most and ((x << 32) | y) < ((midx << 32) | midy):
-            midx, midy, most = x, y, n
+    if busiest is not None:
+        midx, midy = busiest
+    else:
+        most = 0
+        midx = midy = 0
+        for (z, x, y) in sorted(tiles):
+            if z != cfg.maxzoom:
+                continue
+            n = len(tiles[(z, x, y)])
+            if n > most:
+                midx, midy, most = x, y, n
+            elif n == most and ((x << 32) | y) < ((midx << 32) | midy):
+                midx, midy, most = x, y, n
 
     minlon, maxlat = tile2lonlat(np.int64(minx), np.int64(miny), 32)
     maxlon, minlat = tile2lonlat(np.int64(maxx), np.int64(maxy), 32)

@@ -564,14 +564,22 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
 
     from .operators.tiler import can_prefilter_dropped, can_shrink_dropped, fanout_pdf
 
-    if cfg.one_tile is not None:
-        raise NotImplementedError(
-            "--one-tile is a single-tile debug build; use the local "
-            "runner (build_tiles_local / CLI --local-runner, automatic)")
-
     df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
     par = spark.sparkContext.defaultParallelism
     import os as _os
+
+    if cfg.one_tile is not None:
+        # --one-tile z/x/y debug build (main.cpp:1871-1875): the CLI
+        # pins minzoom == maxzoom == z, and the traversal starts (and
+        # ends) at the target tile with EVERY feature — clip_to_tile
+        # discards the rest, exactly the local runner's semantics.  The
+        # whole cascade prunes to a single zoom and a single tile group,
+        # so no fan-out runs at all.
+        tx, ty = cfg.one_tile
+        allz = (df.withColumn("tile_x", F.lit(int(tx)).cast("long"))
+                  .withColumn("tile_y", F.lit(int(ty)).cast("long"))
+                  .withColumn("_z", F.lit(int(cfg.minzoom)).cast("int")))
+        return _encode_stage(allz, cfg, prefilter=False, par=par)
 
     prefilter = can_prefilter_dropped(cfg)
     shrink = (not prefilter) and can_shrink_dropped(cfg)
@@ -597,13 +605,19 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
         # order-free)
         df = df.repartition(par * 2)
 
-    n_shards = max(par * 8, 16)
-    maxzoom = cfg.maxzoom
-
     allz = cascade_all_zooms(df, cfg, prefilter, shrink)
     if checkpoint_dir is not None:
         allz = allz.checkpoint(eager=False)
+    return _encode_stage(allz, cfg, prefilter, par)
 
+
+def _encode_stage(allz, cfg: TileConfig, prefilter: bool, par: int):
+    """Encode shuffle(s) over the cascaded (feature, _z) rows: one
+    hash-sharded pass for plain modes, two passes per zoom (driver
+    ratchet merge between them) for the as-needed modes."""
+    from pyspark.sql import functions as F
+
+    n_shards = max(par * 8, 16)
     shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
 
     if not cfg.any_as_needed:
