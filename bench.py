@@ -116,6 +116,75 @@ def shrink_rows(spark, n_pages: int, maxzoom: int = 8):
     }
 
 
+def spool_memory_worker(mode: str, n_pages: int = 60000):
+    """Child JVM: polygon/line-heavy z0-hot as-needed build (the
+    drop-smallest mode disables both the prefilter and the point-only
+    shrink, so the z0 group carries every feature) while sampling the
+    peak RSS of the pyspark.daemon python workers.  mode='stream'
+    forces spool spilling (TS_SPOOL_MEM_ROWS=4096); mode='whole' is the
+    legacy whole-group applyInPandas encode."""
+    import glob
+    import threading
+
+    os.environ["TS_STREAM_ENCODE"] = "1" if mode == "stream" else "0"
+    if mode == "stream":
+        os.environ["TS_SPOOL_MEM_ROWS"] = "4096"
+
+    peak = [0]
+    stop = threading.Event()
+
+    def mon():
+        while not stop.is_set():
+            mx = 0
+            for d in glob.glob("/proc/[0-9]*"):
+                try:
+                    with open(d + "/cmdline", "rb") as f:
+                        if b"pyspark.daemon" not in f.read():
+                            continue
+                    with open(d + "/status") as f:
+                        for line in f:
+                            if line.startswith("VmRSS"):
+                                mx = max(mx, int(line.split()[1]))
+                                break
+                except OSError:
+                    continue
+            peak[0] = max(peak[0], mx)
+            time.sleep(0.2)
+
+    t = threading.Thread(target=mon, daemon=True)
+    t.start()
+
+    from tippecanoe_spark.config import TileConfig
+    from tippecanoe_spark.io.pages import extract_features_df, pages_df
+    from tippecanoe_spark.pipeline import build_tiles
+    from tippecanoe_spark.session import get_spark
+
+    spark = get_spark(app=f"spoolmem-{mode}", master="local[8]")
+    cfg = TileConfig(maxzoom=4, drop_smallest=True)
+    # warm build: worker pool + imports; its peak is the RSS baseline,
+    # so peak-above-baseline isolates the per-group working set
+    warm = extract_features_df(spark, pages_df(spark, 500, seed=7), cfg)
+    build_tiles(spark, warm, cfg).count()
+    time.sleep(0.5)
+    baseline = peak[0]
+    peak[0] = 0
+
+    feats = extract_features_df(spark, pages_df(spark, n_pages, seed=42), cfg)
+    t0 = time.time()
+    tiles = build_tiles(spark, feats, cfg)
+    agg = tiles.selectExpr("count(*) AS n", "sum(crc32(tile)) AS crc").collect()[0]
+    dt = time.time() - t0
+    spark.stop()
+    stop.set()
+    t.join(timeout=2)
+    print(json.dumps({
+        "baseline_worker_rss_kb": baseline,
+        "peak_worker_rss_kb": peak[0],
+        "delta_rss_kb": max(peak[0] - baseline, 0),
+        "tiles": agg["n"], "tiles_crc_sum": agg["crc"],
+        "seconds": round(dt, 3)}))
+
+
 def tile_build_bench(master: str, n_pages: int, maxzoom: int = 9):
     """Pyramid-build throughput at a given parallelism (the scaling
     metric times the build phase; JVM/session startup and the synthetic
@@ -140,6 +209,9 @@ def main():
         master = sys.argv[sys.argv.index("--scaling-worker") + 1]
         n_pages = int(sys.argv[sys.argv.index("--scaling-worker") + 2])
         print(json.dumps(tile_build_bench(master, n_pages)))
+        return
+    if "--spool-worker" in sys.argv:
+        spool_memory_worker(sys.argv[sys.argv.index("--spool-worker") + 1])
         return
 
     import statistics
@@ -196,26 +268,49 @@ def main():
     # plain prefilter; the shrink is what keeps hot z0-z4 groups small)
     shrink_stats = shrink_rows(spark, n_pages)
 
-    # 10x-rows growth check: per-tile cost at 10x the page count should
-    # stay flat (host noise is 2-3x, so best-of-up-to-3 vs the median
-    # small-run cost; accept early once within the 1.3x bar)
-    per_tile_small = build_s / n_tiles
-    best10 = None
-    for _ in range(3):
-        r10 = run_tile_build(spark, n_pages * 10)
-        if best10 is None or r10[3] < best10[3]:
-            best10 = r10
-        if (best10[3] / best10[0]) / per_tile_small <= 1.3:
-            break
+    # 10x-rows growth check on per-FEATURE cost, fixed median-of-3.
+    # Per-TILE cost is the WRONG metric here and is reported only for
+    # transparency: at 10x features the tile count grows only ~3x, so
+    # per-tile feature load (and with it per-tile cost) triples even at
+    # perfect scaling.  (r3 recorded a 1.036x per-tile claim produced by
+    # an early-accept best-of protocol; the driver's own run measured
+    # 2.981 — the metric was confounded and the protocol biased.  Bar:
+    # per_feature_cost_vs_base <= 1.3.)
+    mult = 100 if "--big" in sys.argv else 10
+    per_feat_small = build_s / n_feats
+    runs10 = [run_tile_build(spark, n_pages * mult) for _ in range(3)]
+    sec10 = statistics.median(r[3] for r in runs10)
+    n_tiles10, n_feats10 = runs10[0][0], runs10[0][1]
     growth = {
-        "pages": n_pages * 10,
-        "features": best10[1],
-        "tiles": best10[0],
-        "seconds": round(best10[3], 3),
-        "tiles_per_sec": round(best10[0] / best10[3], 2),
-        "per_tile_cost_vs_base": round((best10[3] / best10[0]) / per_tile_small, 3),
+        "pages": n_pages * mult,
+        "features": n_feats10,
+        "tiles": n_tiles10,
+        "seconds": round(sec10, 3),
+        "runs": [round(r[3], 3) for r in runs10],
+        "tiles_per_sec": round(n_tiles10 / sec10, 2),
+        "features_per_sec": round(n_feats10 / sec10, 2),
+        "per_feature_cost_vs_base": round((sec10 / n_feats10) / per_feat_small, 3),
+        "per_tile_cost_vs_base": round(
+            (sec10 / n_tiles10) / (build_s / n_tiles), 3),
     }
     spark.stop()
+
+    # bounded-group-memory evidence: peak python-worker RSS on a z0-hot
+    # as-needed build (prefilter and shrink both inapplicable), stream-
+    # spool vs whole-group encode, separate JVMs; byte-identity checked
+    # via tile crc sums
+    spool_mem = {}
+    for mode in ("stream", "whole"):
+        r = subprocess.run(
+            [sys.executable, __file__, "--spool-worker", mode],
+            capture_output=True, text=True, check=True)
+        spool_mem[mode] = json.loads(r.stdout.strip().splitlines()[-1])
+    spool_mem["identical_tiles"] = (
+        spool_mem["stream"]["tiles"] == spool_mem["whole"]["tiles"]
+        and spool_mem["stream"]["tiles_crc_sum"] == spool_mem["whole"]["tiles_crc_sum"])
+    spool_mem["delta_rss_ratio"] = round(
+        spool_mem["stream"]["delta_rss_kb"]
+        / max(spool_mem["whole"]["delta_rss_kb"], 1), 3)
 
     total = round(sum(qtimes.values()), 3)
     out = {
@@ -238,6 +333,7 @@ def main():
         "shrink_drop_densest_z8": shrink_stats,
         "tile_build_10x": growth,
         "ann_lsh_candidates": ann_stats,
+        "spool_memory_z0_hot": spool_mem,
     }
 
     if "--scaling" in sys.argv:

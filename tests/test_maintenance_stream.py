@@ -152,3 +152,119 @@ def test_foreach_batch_sink_structured_streaming(tmp_path):
 def test_guard_rejects_zoom_global_modes():
     with pytest.raises(NotImplementedError):
         TileMaintainer(TileConfig(maxzoom=5, drop_densest=True))
+
+
+# ---------------------------------------------------------------------------
+# distributed maintainer (SparkTileMaintainer): same contract, state in
+# parquet, rebuild = one restricted cascade+encode
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tippecanoe_spark.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=4)
+
+
+def _batch_df(spark, feats):
+    from tippecanoe_spark.pipeline import FEATURE_SCHEMA_DDL, features_to_pdf
+
+    return spark.createDataFrame(features_to_pdf(feats),
+                                 schema=FEATURE_SCHEMA_DDL)
+
+
+def test_spark_maintainer_equals_batch_random_batches(spark, tmp_path):
+    from tippecanoe_spark.streaming.maintenance import SparkTileMaintainer
+
+    cfg = TileConfig(maxzoom=5)
+    feats = _muni(cfg)
+    import random
+
+    rng = random.Random(11)
+    rng.shuffle(feats)
+    cuts = [0, len(feats) // 3, 2 * len(feats) // 3, len(feats)]
+
+    m = SparkTileMaintainer(spark, cfg, str(tmp_path / "store"))
+    seen: list = []
+    for i in range(3):
+        batch = feats[cuts[i]: cuts[i + 1]]
+        seen += [dict(f) for f in batch]
+        m.apply_batch(_batch_df(spark, batch))
+        want = build_tiles_local([dict(f) for f in seen], cfg)
+        assert m.tiles() == want, f"divergence after batch {i}"
+
+
+def test_spark_maintainer_in_order_appends_touch_few_tiles(spark, tmp_path):
+    """Rank-preserving appends rebuild only the tiles around the new
+    features — and nothing O(all-features) lives on the driver (the
+    store is parquet)."""
+    import json
+    import random
+
+    from tippecanoe_spark.io.geojson import feature_records
+    from tippecanoe_spark.streaming.maintenance import SparkTileMaintainer
+
+    rng = random.Random(3)
+    cfg = TileConfig(maxzoom=6)
+
+    def mk(lon, lat, i):
+        return json.dumps({
+            "type": "Feature", "properties": {"i": i},
+            "geometry": {"type": "Point",
+                         "coordinates": [round(lon, 6), round(lat, 6)]}})
+
+    world = [mk(rng.uniform(-170, 150), rng.uniform(-60, 70), i)
+             for i in range(400)]
+    corner = [mk(rng.uniform(170, 175), rng.uniform(-80, -75), 400 + i)
+              for i in range(10)]
+    feats = feature_records("\n".join(world + corner), "pts", cfg)
+
+    m = SparkTileMaintainer(spark, cfg, str(tmp_path / "store"))
+    m.apply_batch(_batch_df(spark, feats[:400]))
+    total = len(m.tiles())
+    affected = m.apply_batch(_batch_df(spark, feats[400:]))
+    assert len(affected) < total // 2, (len(affected), total)
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles() == want
+
+
+def test_spark_foreach_batch_sink_structured_streaming(spark, tmp_path):
+    """End-to-end Structured Streaming through the DISTRIBUTED sink:
+    micro-batches land in the parquet store without driver collection;
+    the maintained tileset equals the batch build."""
+    from tippecanoe_spark.pipeline import FEATURE_SCHEMA_DDL, features_to_pdf
+    from tippecanoe_spark.streaming.maintenance import (
+        SparkTileMaintainer, spark_foreach_batch_sink)
+
+    cfg = TileConfig(maxzoom=4)
+    feats = _muni(cfg)[:400]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf = features_to_pdf(feats)
+    spark.createDataFrame(pdf.iloc[:200], schema=FEATURE_SCHEMA_DDL) \
+        .write.parquet(str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[200:], schema=FEATURE_SCHEMA_DDL) \
+        .write.parquet(str(src / "b1"))
+
+    m = SparkTileMaintainer(spark, cfg, str(tmp_path / "store"))
+    q = (spark.readStream.schema(FEATURE_SCHEMA_DDL)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(str(src / "*"))
+         .writeStream
+         .foreachBatch(spark_foreach_batch_sink(m))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles() == want
+
+
+def test_spark_maintainer_guard(spark, tmp_path):
+    from tippecanoe_spark.streaming.maintenance import SparkTileMaintainer
+
+    with pytest.raises(NotImplementedError):
+        SparkTileMaintainer(spark, TileConfig(maxzoom=5, drop_densest=True),
+                            str(tmp_path / "s"))

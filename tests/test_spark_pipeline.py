@@ -216,3 +216,46 @@ def test_spark_as_needed_matches_local(spark):
     got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
            for r in build_tiles(spark, df, cfg).collect()}
     assert got == local_tiles
+
+
+def test_spark_extend_zooms_matches_local(spark):
+    """--extend-zooms-if-still-dropping through the Spark path (the
+    per-zoom BFS, pipeline._build_tiles_extend_spark): maxzoom grows
+    past the requested -z6 exactly as in the parity-anchored local
+    runner, byte-identical at two partition counts."""
+    from tests.conftest import options_to_config
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
+
+    opts = "-z6 -O60 --drop-densest-as-needed --extend-zooms-if-still-dropping"
+    cfg = options_to_config(opts)
+    feats = _muni_feats(cfg)
+    local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+    # the golden case actually extends: tiles exist beyond z6
+    assert max(z for (z, _x, _y) in local_tiles) > 6
+    base = spark.createDataFrame(features_to_pdf(feats))
+    for parts in (2, 9):
+        cfg2 = options_to_config(opts)
+        df = base.repartition(parts)
+        got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+               for r in build_tiles(spark, df, cfg2).collect()}
+        assert got == local_tiles, parts
+
+
+def test_spark_spilled_encode_matches_local(spark, monkeypatch):
+    """Force the encode spool to spill (TS_SPOOL_MEM_ROWS=64): every
+    tile run takes the disk-backed re-iterable ladder path; bytes must
+    not change.  Covers plain AND as-needed modes over mixed geometry
+    (muni points + roads lines through the same assertions)."""
+    from tests.conftest import options_to_config
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
+
+    monkeypatch.setenv("TS_SPOOL_MEM_ROWS", "64")
+    for opts in ("-z5", "-z5 -M2000 --drop-densest-as-needed"):
+        cfg = options_to_config(opts)
+        feats = _muni_feats(cfg)
+        local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+        cfg2 = options_to_config(opts)
+        df = spark.createDataFrame(features_to_pdf(feats))
+        got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+               for r in build_tiles(spark, df, cfg2).collect()}
+        assert got == local_tiles, opts

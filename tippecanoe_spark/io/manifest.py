@@ -75,7 +75,8 @@ def build_tiles_resumable(spark, features_df, cfg: TileConfig, out_dir: str,
 
     from ..operators.tiler import can_prefilter_dropped
     from ..pipeline import (FEATURE_SCHEMA_DDL, TILES_SCHEMA_DDL,
-                            _make_encode_processor, assign_minzoom_spark)
+                            _make_stream_encoder, _sorted_for_encode,
+                            assign_minzoom_spark)
 
     if cfg.any_as_needed or cfg.extend_zooms:
         raise NotImplementedError(
@@ -96,13 +97,16 @@ def build_tiles_resumable(spark, features_df, cfg: TileConfig, out_dir: str,
         allz = cascade_all_zooms(df, cfg, prefilter)
         allz = allz.localCheckpoint(eager=False)
         shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
-        enc = _make_encode_processor(cfg, prefilter)
+        enc = _make_stream_encoder(cfg, prefilter)
 
         for z in todo:
             t0 = time.time()
-            sub = allz.filter(F.col("_z") == z).withColumn("_shard", shard)
-            lineage = sub.groupBy("_shard").count().collect()
-            tiles = sub.groupBy("_shard").applyInPandas(enc, schema=TILES_SCHEMA_DDL)
+            sub = allz.filter(F.col("_z") == z)
+            lineage = sub.withColumn("_shard", shard).groupBy("_shard").count().collect()
+            # streaming sorted-iterator encode (bounded group memory;
+            # see pipeline._make_stream_encoder)
+            tiles = _sorted_for_encode(sub, n_shards).mapInPandas(
+                enc, schema=TILES_SCHEMA_DDL)
             tiles.withColumn("bytes", F.length("tile")) \
                 .write.mode("append").partitionBy("z") \
                 .parquet(_tiles_path(out_dir))

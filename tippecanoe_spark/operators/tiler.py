@@ -147,6 +147,16 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
                  emit_children=True):
     """Process one tile's features — write_tile (tile.cpp:1718-2538).
 
+    ``rows`` is either a list of feature dicts or a CALLABLE returning a
+    fresh iterator of them (the streaming encode path): with a callable
+    the clip+gate scan re-runs per retry attempt, exactly the
+    reference's seek-back-and-re-read protocol (tile.cpp's line_detail
+    loop re-runs the whole feature read), and peak memory is the
+    SURVIVORS (partials) plus the 8-byte-per-feature index/extent
+    vectors the reference also keeps — never the full input row set.
+    Streaming requires emit_children=False (the Spark pipeline fans out
+    map-side in fanout_pdf).
+
     Returns (tile_bytes_or_None, child_rows, stats); stats carries the
     discovered zoom-global ratchet values (gamma_out / mingap_out /
     minextent_out / fraction_out / still_dropping) for the 2-pass
@@ -156,8 +166,7 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
     compressed-size overflow, raise gamma x1.25 / choose_mingap /
     choose_minextent / shrink fraction (in that order per the enabled
     modes), else reduce detail.  pass_params carries zoom-global
-    starting parameters.  emit_children=False skips the rewrite fan-out
-    (the Spark pipeline fans out map-side in fanout_pdf).
+    starting parameters.
     """
     buffer = cfg.buffer
     gs = cfg.geometry_scale
@@ -183,16 +192,116 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
              "fraction_out": 1.0, "still_dropping": False, "features": 0,
              "indices": [], "extents": []}
 
-    # ---- clip + fan-out + gates: independent of retry parameters ----
-    clipped = []
+    streaming = callable(rows)
+    if streaming and emit_children:
+        raise ValueError("streaming row source requires emit_children=False")
+
     children = []
-    for row in rows:
+
+    def _clip_gates(row_iter):
+        # ---- clip + fan-out + gates: independent of retry params ----
+        yield from _clip_gate_iter(
+            row_iter, z, tx, ty, cfg, nextzoom, detail, origin_x, origin_y,
+            buffer, gs, children, emit_children)
+
+    if streaming:
+        def clipped_src():
+            return _clip_gates(rows())
+    else:
+        clipped_list = list(_clip_gates(iter(rows)))
+
+        def clipped_src():
+            return iter(clipped_list)
+
+    # prefilter pipe (-C): features leave as GeoJSON, come back
+    # re-imported (tile.cpp:1788-1870); runs once per tile — the
+    # reference re-pipes on every retry pass, identical output assumed
+    # for a deterministic filter.  Both pipes are disabled below
+    # minzoom (tile.cpp:1796-1799).  The pipe materializes the tile
+    # (external process round-trip), so -C opts out of bounded-memory
+    # streaming.
+    if cfg.prefilter is not None and z >= cfg.minzoom:
+        from .plugin import prefilter_tile
+
+        piped = prefilter_tile(list(clipped_src()), z, tx, ty, cfg)
+
+        def clipped_src():
+            return iter(piped)
+
+    # ---- retry ladder (the write_tile line_detail loop) ----
+    mingap_fraction = 1.0
+    minextent_fraction = 1.0
+    line_detail = detail
+    while line_detail >= cfg.min_detail or line_detail == detail:
+        tile, total_features, indices, extents = _ladder_pass(
+            clipped_src(), z, cfg, line_detail, gamma, mingap, minextent, fraction)
+        stats["indices"] = indices
+        stats["extents"] = extents
+
+        if total_features == 0 or not tile.layers:
+            return None, children, stats
+
+        # postfilter pipe (-c) on the assembled layers; re-runs on every
+        # retry pass like filter_layers (tile.cpp:2308-2310); disabled
+        # below minzoom (tile.cpp:1796-1799)
+        if cfg.postfilter is not None and z >= cfg.minzoom:
+            from .plugin import postfilter_tile
+
+            tile = postfilter_tile(tile, z, tx, ty, 1 << line_detail, cfg)
+            if not tile.layers:
+                return None, children, stats
+
+        if total_features > cfg.max_tile_features and not cfg.no_feature_limit:
+            upd = _retry_step(cfg, total_features, cfg.max_tile_features,
+                              total_features, len(tile.layers), gamma, mingap,
+                              minextent, fraction, mingap_fraction,
+                              minextent_fraction, indices, extents, stats)
+            if upd is None:
+                raise ValueError(
+                    f"tile {z}/{tx}/{ty}: {total_features} features; try "
+                    "--drop-fraction-as-needed or --drop-densest-as-needed")
+            (gamma, mingap, minextent, fraction,
+             mingap_fraction, minextent_fraction, handled) = upd
+            if handled:
+                continue
+            raise ValueError(
+                f"tile {z}/{tx}/{ty}: {total_features} features; try "
+                "--drop-fraction-as-needed or --drop-densest-as-needed")
+
+        raw = M.encode_tile(tile)
+        compressed = raw if cfg.no_tile_compression else M.gzip_tile(raw)
+
+        if len(compressed) > cfg.max_tile_size and not cfg.no_tile_size_limit:
+            upd = _retry_step(cfg, len(compressed), cfg.max_tile_size,
+                              total_features, len(tile.layers), gamma, mingap,
+                              minextent, fraction, mingap_fraction,
+                              minextent_fraction, indices, extents, stats)
+            if upd is not None:
+                (gamma, mingap, minextent, fraction,
+                 mingap_fraction, minextent_fraction, handled) = upd
+                if handled:
+                    continue
+            line_detail -= 1  # detail-reduction fallback (tile.cpp:1752)
+            continue
+
+        stats["features"] = total_features
+        return compressed, children, stats
+
+    raise ValueError(f"could not make tile {z}/{tx}/{ty} small enough")
+
+
+def _clip_gate_iter(row_iter, z, tx, ty, cfg: TileConfig, nextzoom, detail,
+                    origin_x, origin_y, buffer, gs, children, emit_children):
+    """The write_tile read loop (tile.cpp:1786-1450 region): clip to the
+    tile, fan out to the next zoom (list mode only), run the zoom/filter
+    gates.  Yields (row, ops, xs, ys, t) for ladder consumption."""
+    for row in row_iter:
         if row["tp_minzoom"] == PACKET_TPMIN:
             # fold packet from the map-side shrink (shrink_dropped_pdf):
             # carries an ordered fold sequence in keys/vtypes/values and
             # no geometry; bypasses clip/fan-out/gates and replays in
             # the ladder at its (ix, seq) position
-            clipped.append((row, row["ops"], row["xs"], row["ys"], row["t"]))
+            yield (row, row["ops"], row["xs"], row["ys"], row["t"])
             continue
         t = row["t"]
         ops = row["ops"]
@@ -268,78 +377,7 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
             row["vtypes"] = [v for _, v, _ in kept]
             row["values"] = [s for _, _, s in kept]
 
-        clipped.append((row, ops, xs, ys, t))
-
-    # prefilter pipe (-C): features leave as GeoJSON, come back
-    # re-imported (tile.cpp:1788-1870); runs once per tile — the
-    # reference re-pipes on every retry pass, identical output assumed
-    # for a deterministic filter.  Both pipes are disabled below
-    # minzoom (tile.cpp:1796-1799)
-    if cfg.prefilter is not None and z >= cfg.minzoom:
-        from .plugin import prefilter_tile
-
-        clipped = prefilter_tile(clipped, z, tx, ty, cfg)
-
-    # ---- retry ladder (the write_tile line_detail loop) ----
-    mingap_fraction = 1.0
-    minextent_fraction = 1.0
-    line_detail = detail
-    while line_detail >= cfg.min_detail or line_detail == detail:
-        tile, total_features, indices, extents = _ladder_pass(
-            clipped, z, cfg, line_detail, gamma, mingap, minextent, fraction)
-        stats["indices"] = indices
-        stats["extents"] = extents
-
-        if total_features == 0 or not tile.layers:
-            return None, children, stats
-
-        # postfilter pipe (-c) on the assembled layers; re-runs on every
-        # retry pass like filter_layers (tile.cpp:2308-2310); disabled
-        # below minzoom (tile.cpp:1796-1799)
-        if cfg.postfilter is not None and z >= cfg.minzoom:
-            from .plugin import postfilter_tile
-
-            tile = postfilter_tile(tile, z, tx, ty, 1 << line_detail, cfg)
-            if not tile.layers:
-                return None, children, stats
-
-        if total_features > cfg.max_tile_features and not cfg.no_feature_limit:
-            upd = _retry_step(cfg, total_features, cfg.max_tile_features,
-                              total_features, len(tile.layers), gamma, mingap,
-                              minextent, fraction, mingap_fraction,
-                              minextent_fraction, indices, extents, stats)
-            if upd is None:
-                raise ValueError(
-                    f"tile {z}/{tx}/{ty}: {total_features} features; try "
-                    "--drop-fraction-as-needed or --drop-densest-as-needed")
-            (gamma, mingap, minextent, fraction,
-             mingap_fraction, minextent_fraction, handled) = upd
-            if handled:
-                continue
-            raise ValueError(
-                f"tile {z}/{tx}/{ty}: {total_features} features; try "
-                "--drop-fraction-as-needed or --drop-densest-as-needed")
-
-        raw = M.encode_tile(tile)
-        compressed = raw if cfg.no_tile_compression else M.gzip_tile(raw)
-
-        if len(compressed) > cfg.max_tile_size and not cfg.no_tile_size_limit:
-            upd = _retry_step(cfg, len(compressed), cfg.max_tile_size,
-                              total_features, len(tile.layers), gamma, mingap,
-                              minextent, fraction, mingap_fraction,
-                              minextent_fraction, indices, extents, stats)
-            if upd is not None:
-                (gamma, mingap, minextent, fraction,
-                 mingap_fraction, minextent_fraction, handled) = upd
-                if handled:
-                    continue
-            line_detail -= 1  # detail-reduction fallback (tile.cpp:1752)
-            continue
-
-        stats["features"] = total_features
-        return compressed, children, stats
-
-    raise ValueError(f"could not make tile {z}/{tx}/{ty} small enough")
+        yield (row, ops, xs, ys, t)
 
 
 _ULONG_MAX = (1 << 64) - 1

@@ -4,21 +4,23 @@ Two runners share the same per-tile kernel (operators.tiler.process_tile):
 
 - ``build_tiles_local``: pure-Python BFS over the zoom cascade.  Used by
   the pytest parity suite (fast, no JVM) and as the semantic reference.
-- ``build_tiles``: the Spark pipeline.  One stage per zoom level, exactly
-  the reference's traverse_zooms structure (tile.cpp:2650-2931):
+- ``build_tiles``: the Spark pipeline, mirroring the reference's
+  traverse_zooms structure (tile.cpp:2650-2931):
 
-    features (z=0 root) ──┐
-      per zoom z:         │
-        groupBy(tile_x, tile_y) → applyInPandas(process zoom z)
-          ├── rows kind=TILE  → (z, x, y, tile bytes)   [output]
-          └── rows kind=CHILD → features for zoom z+1   [loop]
+    features (z=0 root)
+      └─ mapInPandas cascade (narrow fan-out, all zooms, column _z)
+           └─ repartition(packed(z,x,y)) + sortWithinPartitions(
+                packed_key, unsigned ix, seq)              [one shuffle]
+                └─ mapInPandas streaming encode → (z, x, y, tile)
 
-  The per-zoom shuffle on (tile_x, tile_y) is the engine's only shuffle
-  besides the initial global (ix, seq) sort; fan-out happens map-side
-  inside the group function.  Hot low zooms (z0-z4) have few groups —
-  the known skew point, kept small by the map-side prefilter (plain
-  modes) / witness-lemma shrink (as-needed/accumulate modes); see
-  docs/SCALING.md.
+  The encode is a sorted ITERATOR, not a group materialization (r4):
+  complete in-batch tile runs take a vectorized per-batch body; runs
+  crossing batch boundaries (hot z0-z4 groups) stream through a
+  disk-spilling spool and process_tile's re-iterable retry ladder —
+  task memory is the survivors, the reference's own temp-file memory
+  profile.  Hot low zooms are additionally kept small by the map-side
+  prefilter (plain modes) / witness-lemma shrink (as-needed/accumulate
+  modes); see docs/SCALING.md.
 """
 
 from __future__ import annotations
@@ -266,6 +268,87 @@ def _sort_rows_by_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.iloc[order]
 
 
+def _encode_sorted_frame(pdf: pd.DataFrame, cfg: TileConfig, prefilter: bool,
+                         pass_params: dict | None = None,
+                         still_flag: list | None = None) -> list:
+    """Encode every COMPLETE (z, tile) run of an already-sorted frame
+    (the vectorized core shared by the whole-group processor and the
+    streaming encoder's in-batch path).  One prefilter pass per z slice,
+    one dict conversion for all slow rows, columnar fast path for
+    all-point runs.  Returns (z, x, y, tile) records."""
+    from .operators.tiler import encode_points_tile_fast, prefilter_dropped_mask
+
+    if prefilter and len(pdf):
+        keep = np.ones(len(pdf), dtype=bool)
+        for z in np.unique(pdf["_z"].to_numpy()):
+            m = (pdf["_z"] == z).to_numpy()
+            keep[m] = prefilter_dropped_mask(pdf[m], int(z), cfg)
+        pdf = pdf[keep]
+    if not len(pdf):
+        return []
+    zs = pdf["_z"].to_numpy()
+    txs = pdf["tile_x"].to_numpy()
+    tys = pdf["tile_y"].to_numpy()
+    t_arr = pdf["t"].to_numpy()
+    tpmin = pdf["tp_minzoom"].to_numpy()
+    n = len(pdf)
+    bounds = [0] + [i for i in range(1, n) if zs[i] != zs[i - 1] or txs[i] != txs[i - 1] or tys[i] != tys[i - 1]] + [n]
+
+    # columnar fast path for all-point tile runs (the dominant case);
+    # line/polygon tiles go through the exact full ladder.  When the
+    # prefilter ran, gate-skipped rows are already gone, which the
+    # fast path relies on.
+    run_len = np.diff(bounds)
+    starts = np.asarray(bounds[:-1])
+    is_point = t_arr == 1
+    point_prefix = np.cumsum(is_point)
+    fast_runs = np.zeros(len(starts), dtype=bool)
+    if prefilter:
+        ends = starts + run_len
+        pts_in_run = point_prefix[ends - 1] - np.where(starts > 0, point_prefix[starts - 1], 0)
+        # z0 excluded: edge-touching points are duplicated across the
+        # date line there (clip_to_tile, tile.cpp:1228-1254)
+        fast_runs = (pts_in_run == run_len) & (zs[starts] >= cfg.minzoom) & (zs[starts] > 0)
+    slow_idx_mask = np.zeros(n, dtype=bool)
+    for ri, st in enumerate(starts):
+        if not fast_runs[ri]:
+            slow_idx_mask[st: st + run_len[ri]] = True
+    slow_rows = _pdf_rows_to_dicts(pdf[slow_idx_mask]) if slow_idx_mask.any() else []
+
+    cols = {
+        "t": t_arr,
+        "fmz": pdf["fmz"].to_numpy(),
+        "tp_minzoom": tpmin,
+        "xs": pdf["xs"].to_numpy(),
+        "ys": pdf["ys"].to_numpy(),
+        "props": pdf["props"].to_numpy(),
+        "layer": pdf["layer"].to_numpy(),
+        "has_id": pdf["has_id"].to_numpy(),
+        "id": pdf["id"].to_numpy(),
+    }
+    recs = []
+    slow_pos = 0
+    for ri, st in enumerate(starts):
+        z, tx, ty = int(zs[st]), int(txs[st]), int(tys[st])
+        cnt = int(run_len[ri])
+        if fast_runs[ri]:
+            run = {k: v[st: st + cnt] for k, v in cols.items()}
+            tb = encode_points_tile_fast(run, z, tx, ty, cfg)
+            if tb is not None:
+                recs.append((z, tx, ty, tb))
+        else:
+            tile_bytes, _children, stats = process_tile(
+                slow_rows[slow_pos: slow_pos + cnt], z, tx, ty, cfg,
+                pass_params=dict(pass_params) if pass_params else None,
+                emit_children=False)
+            slow_pos += cnt
+            if still_flag is not None and stats["still_dropping"]:
+                still_flag.append(True)
+            if tile_bytes is not None:
+                recs.append((z, tx, ty, tile_bytes))
+    return recs
+
+
 def _make_encode_processor(cfg: TileConfig, prefilter: bool, pass_params: dict | None = None):
     """Shard group function: encode every (z, tile) run in the shard.
 
@@ -274,7 +357,6 @@ def _make_encode_processor(cfg: TileConfig, prefilter: bool, pass_params: dict |
     optional exact prefilter (can_prefilter_dropped) can slash the row
     count before the per-feature Python loop.  Rows for ALL zooms arrive
     in one shuffle (column _z)."""
-    from .operators.tiler import encode_points_tile_fast, prefilter_dropped_mask
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["_shard"])
@@ -286,73 +368,7 @@ def _make_encode_processor(cfg: TileConfig, prefilter: bool, pass_params: dict |
             pdf["_z"].to_numpy(),
         ))
         pdf = pdf.iloc[order]
-        if prefilter and len(pdf):
-            keep = np.ones(len(pdf), dtype=bool)
-            for z in np.unique(pdf["_z"].to_numpy()):
-                m = (pdf["_z"] == z).to_numpy()
-                keep[m] = prefilter_dropped_mask(pdf[m], int(z), cfg)
-            pdf = pdf[keep]
-        if not len(pdf):
-            return _empty_tiles_pdf()
-        zs = pdf["_z"].to_numpy()
-        txs = pdf["tile_x"].to_numpy()
-        tys = pdf["tile_y"].to_numpy()
-        t_arr = pdf["t"].to_numpy()
-        tpmin = pdf["tp_minzoom"].to_numpy()
-        tpmax = pdf["tp_maxzoom"].to_numpy()
-        n = len(pdf)
-        bounds = [0] + [i for i in range(1, n) if zs[i] != zs[i - 1] or txs[i] != txs[i - 1] or tys[i] != tys[i - 1]] + [n]
-
-        # columnar fast path for all-point tile runs (the dominant case);
-        # line/polygon tiles go through the exact full ladder.  When the
-        # prefilter ran, gate-skipped rows are already gone, which the
-        # fast path relies on.
-        run_len = np.diff(bounds)
-        starts = np.asarray(bounds[:-1])
-        is_point = t_arr == 1
-        point_prefix = np.cumsum(is_point)
-        fast_runs = np.zeros(len(starts), dtype=bool)
-        if prefilter:
-            ends = starts + run_len
-            pts_in_run = point_prefix[ends - 1] - (point_prefix[starts - 1] if False else np.where(starts > 0, point_prefix[starts - 1], 0))
-            # z0 excluded: edge-touching points are duplicated across the
-            # date line there (clip_to_tile, tile.cpp:1228-1254)
-            fast_runs = (pts_in_run == run_len) & (zs[starts] >= cfg.minzoom) & (zs[starts] > 0)
-        slow_idx_mask = np.zeros(n, dtype=bool)
-        for ri, st in enumerate(starts):
-            if not fast_runs[ri]:
-                slow_idx_mask[st: st + run_len[ri]] = True
-        slow_rows = _pdf_rows_to_dicts(pdf[slow_idx_mask]) if slow_idx_mask.any() else []
-
-        cols = {
-            "t": t_arr,
-            "fmz": pdf["fmz"].to_numpy(),
-            "tp_minzoom": tpmin,
-            "xs": pdf["xs"].to_numpy(),
-            "ys": pdf["ys"].to_numpy(),
-            "props": pdf["props"].to_numpy(),
-            "layer": pdf["layer"].to_numpy(),
-            "has_id": pdf["has_id"].to_numpy(),
-            "id": pdf["id"].to_numpy(),
-        }
-        recs = []
-        slow_pos = 0
-        for ri, st in enumerate(starts):
-            z, tx, ty = int(zs[st]), int(txs[st]), int(tys[st])
-            cnt = int(run_len[ri])
-            if fast_runs[ri]:
-                run = {k: v[st: st + cnt] for k, v in cols.items()}
-                tb = encode_points_tile_fast(run, z, tx, ty, cfg)
-                if tb is not None:
-                    recs.append((z, tx, ty, tb))
-            else:
-                tile_bytes, _children, _stats = process_tile(
-                    slow_rows[slow_pos: slow_pos + cnt], z, tx, ty, cfg,
-                    pass_params=dict(pass_params) if pass_params else None,
-                    emit_children=False)
-                slow_pos += cnt
-                if tile_bytes is not None:
-                    recs.append((z, tx, ty, tile_bytes))
+        recs = _encode_sorted_frame(pdf, cfg, prefilter, pass_params)
         if not recs:
             return _empty_tiles_pdf()
         return pd.DataFrame.from_records(recs, columns=["z", "x", "y", "tile"])
@@ -367,6 +383,303 @@ def _empty_tiles_pdf() -> pd.DataFrame:
         "y": pd.Series(dtype="int64"),
         "tile": pd.Series(dtype="object"),
     })
+
+
+# ---------------------------------------------------------------------------
+# streaming encode (sorted-iterator; bounded memory per tile group)
+
+# in-memory rows per tile run before the spool spills to local disk
+_SPOOL_MEM_ROWS_ENV = "TS_SPOOL_MEM_ROWS"
+
+
+class _TileSpool:
+    """Accumulates ONE (z, x, y) tile run as sorted pandas slices with
+    bounded memory: past ``mem_rows`` the slices spill to an executor-
+    local temp file (pickle stream) and every later slice goes straight
+    to disk.  This is the reference's temp-geometry-file architecture
+    (write_tile streams features from disk and seeks back to the tile's
+    start on every retry, tile.cpp:2332-2520): ``iter_rows`` re-reads
+    the spill from the top, so process_tile's retry ladder can run any
+    number of passes while holding only the survivors in memory."""
+
+    __slots__ = ("slices", "rows", "mem_rows", "all_points", "_tmp")
+
+    def __init__(self, mem_rows: int):
+        self.slices = []
+        self.rows = 0
+        self.mem_rows = mem_rows
+        self.all_points = True
+        self._tmp = None
+
+    def add(self, sl: pd.DataFrame) -> None:
+        import pickle
+
+        if self.all_points and not (sl["t"].to_numpy() == 1).all():
+            self.all_points = False
+        self.rows += len(sl)
+        if self._tmp is None and self.rows > self.mem_rows:
+            import tempfile
+
+            self._tmp = tempfile.TemporaryFile(prefix="ts_spool_")
+            for s in self.slices:
+                pickle.dump(s, self._tmp, protocol=4)
+            self.slices = []
+        if self._tmp is not None:
+            pickle.dump(sl, self._tmp, protocol=4)
+        else:
+            self.slices.append(sl)
+
+    @property
+    def spilled(self) -> bool:
+        return self._tmp is not None
+
+    def concat(self) -> pd.DataFrame:
+        assert self._tmp is None
+        if len(self.slices) == 1:
+            return self.slices[0]
+        return pd.concat(self.slices, ignore_index=True)
+
+    def iter_rows(self):
+        """Fresh row-dict iterator over the whole run (re-iterable:
+        each call re-reads the spill)."""
+        import pickle
+
+        if self._tmp is None:
+            for sl in self.slices:
+                yield from _pdf_rows_to_dicts(sl)
+            return
+        self._tmp.flush()
+        self._tmp.seek(0)
+        while True:
+            try:
+                sl = pickle.load(self._tmp)
+            except EOFError:
+                break
+            yield from _pdf_rows_to_dicts(sl)
+
+    def close(self) -> None:
+        if self._tmp is not None:
+            self._tmp.close()
+            self._tmp = None
+        self.slices = []
+
+
+def _sorted_for_encode(allz, n_shards: int):
+    """Hash-distribute tile groups and sort each partition into the
+    cascade's canonical order: (_z, tile, unsigned ix, seq).  Tile runs
+    arrive contiguous in the mapInPandas batch stream, so the encoder
+    never needs a whole group in memory (vs groupBy().applyInPandas,
+    which materializes each group as ONE pandas frame — the z0-z4
+    scale-killer for polygon/line corpora under as-needed modes).
+
+    (z, x, y) packs into ONE long sort key — z <= 24 (MAX_ZOOM) in 5
+    bits, x/y < 2^24 in 29 bits each, non-overlapping so the packed
+    order == the lexicographic order — which keeps the JVM sort on its
+    8-byte-prefix fast path (~12% off the encode stage vs a 5-column
+    sort)."""
+    from pyspark.sql import functions as F
+
+    return (
+        allz.withColumn("_six", F.col("ix").bitwiseXOR(F.lit(-(1 << 63)).cast("long")))
+        .withColumn("_gk", F.expr(
+            "shiftleft(CAST(_z AS BIGINT), 58) + shiftleft(tile_x, 29) + tile_y"))
+        .repartition(n_shards, "_gk")
+        .sortWithinPartitions("_gk", "_six", "seq")
+        .drop("_gk")
+    )
+
+
+def _stream_segments(it):
+    """Split the sorted batch stream into two kinds of work units:
+
+      ("frame", sub_pdf)      — a slice of one batch holding only
+                                COMPLETE tile runs → vectorized
+                                processing, one pandas pass per batch
+                                (per-run pandas overhead would be ~4x
+                                the actual encode work: most tiles hold
+                                a handful of rows)
+      ("run", key, spool)     — a run that CROSSES batch boundaries
+                                (the hot-tile case) accumulated in a
+                                disk-spilling spool; caller owns
+                                spool.close()
+
+    Only the last run of each batch can cross into the next batch, so
+    at most one spool is open at a time and the frame path carries
+    ~everything on healthy data."""
+    import os as _os
+
+    mem_rows = int(_os.environ.get(_SPOOL_MEM_ROWS_ENV, str(1 << 16)))
+    key = None
+    spool = None
+    for pdf in it:
+        drop = [c for c in ("_shard", "_six") if c in pdf.columns]
+        if drop:
+            pdf = pdf.drop(columns=drop)
+        n = len(pdf)
+        if not n:
+            continue
+        zs = pdf["_z"].to_numpy()
+        txs = pdf["tile_x"].to_numpy()
+        tys = pdf["tile_y"].to_numpy()
+        change = np.nonzero(
+            (zs[1:] != zs[:-1]) | (txs[1:] != txs[:-1]) | (tys[1:] != tys[:-1])
+        )[0] + 1
+        bounds = [0, *change.tolist(), n]
+        first_key = (int(zs[0]), int(txs[0]), int(tys[0]))
+
+        mid_lo = 0
+        if spool is not None:
+            if key == first_key:
+                hi = bounds[1]
+                spool.add(pdf.iloc[0:hi].copy() if hi < n else pdf)
+                if hi == n:
+                    continue  # the whole batch belongs to the open run
+                mid_lo = hi
+            yield "run", key, spool
+            key, spool = None, None
+
+        tail_lo = bounds[-2]
+        last_key = (int(zs[tail_lo]), int(txs[tail_lo]), int(tys[tail_lo]))
+        if mid_lo < tail_lo:
+            yield "frame", pdf.iloc[mid_lo:tail_lo]
+        # the batch's last run may continue in the next batch: spool it
+        key = last_key
+        spool = _TileSpool(mem_rows)
+        spool.add(pdf.iloc[tail_lo:n].copy() if tail_lo > 0 else pdf)
+    if spool is not None:
+        yield "run", key, spool
+
+
+def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
+                         pass_params: dict | None = None,
+                         still_acc=None):
+    """mapInPandas encode over sorted partitions: one tile run at a
+    time, spilled to local disk past the spool threshold.  Small
+    in-memory runs keep the columnar fast path (all-point runs) and the
+    one-shot dict conversion; spilled runs stream through process_tile's
+    re-iterable retry ladder with survivor-bounded memory.
+
+    ``still_acc``: optional Spark accumulator OR-ing per-tile
+    still_dropping (extend-zooms decision at the last zoom).  Task
+    retries can only re-add — an OR is idempotent, so transformation-
+    side accumulation is safe here."""
+    from .operators.tiler import (encode_points_tile_fast,
+                                  prefilter_dropped_mask, process_tile)
+
+    def encode_run(key, spool):
+        z, tx, ty = key
+        try:
+            pp = dict(pass_params) if pass_params else None
+            if not spool.spilled:
+                pdf = spool.concat()
+                if prefilter and len(pdf):
+                    pdf = pdf[prefilter_dropped_mask(pdf, z, cfg)]
+                if not len(pdf):
+                    return None
+                # columnar fast path for all-point runs (the dominant
+                # case).  z0 excluded: edge-touching points are
+                # duplicated across the date line there (clip_to_tile,
+                # tile.cpp:1228-1254).  Requires the exact prefilter
+                # (just ran, whole-run = whole-tile, so it IS exact).
+                if (prefilter and spool.all_points and z >= cfg.minzoom
+                        and z > 0):
+                    run = {k: pdf[k].to_numpy()
+                           for k in ("t", "fmz", "tp_minzoom", "xs", "ys",
+                                     "props", "layer", "has_id", "id")}
+                    tb = encode_points_tile_fast(run, z, tx, ty, cfg)
+                    return (z, tx, ty, tb) if tb is not None else None
+                tb, _c, st = process_tile(
+                    _pdf_rows_to_dicts(pdf), z, tx, ty, cfg,
+                    pass_params=pp, emit_children=False)
+            else:
+                tb, _c, st = process_tile(
+                    spool.iter_rows, z, tx, ty, cfg,
+                    pass_params=pp, emit_children=False)
+            if still_acc is not None and st["still_dropping"]:
+                still_acc.add(1)
+            return (z, tx, ty, tb) if tb is not None else None
+        finally:
+            spool.close()
+
+    def fn(it):
+        still = [] if still_acc is not None else None
+        recs = []
+        for seg in _stream_segments(it):
+            if seg[0] == "frame":
+                recs.extend(_encode_sorted_frame(
+                    seg[1], cfg, prefilter, pass_params, still_flag=still))
+            else:
+                rec = encode_run(seg[1], seg[2])
+                if rec is not None:
+                    recs.append(rec)
+            if len(recs) >= 256:
+                yield pd.DataFrame.from_records(
+                    recs, columns=["z", "x", "y", "tile"])
+                recs = []
+        if still_acc is not None and still:
+            still_acc.add(1)
+        if recs:
+            yield pd.DataFrame.from_records(recs, columns=["z", "x", "y", "tile"])
+        else:
+            yield _empty_tiles_pdf()
+
+    return fn
+
+
+def _make_stream_pass0(cfg: TileConfig, params: dict):
+    """Pass-0 discovery over the sorted stream: run every tile's ladder
+    without writing, emit one per-partition row of ratchet maxima."""
+    from .operators.tiler import process_tile
+
+    def fn(it):
+        agg = {"gamma_out": 0.0, "mingap_out": 0, "minextent_out": 0,
+               "fraction_out": 1.0}
+        still = False
+
+        def merge(stats):
+            nonlocal still
+            for k in ("gamma_out", "mingap_out", "minextent_out"):
+                if stats[k] > agg[k]:
+                    agg[k] = stats[k]
+            if stats["fraction_out"] < agg["fraction_out"]:
+                agg["fraction_out"] = stats["fraction_out"]
+            still = still or stats["still_dropping"]
+
+        for seg in _stream_segments(it):
+            if seg[0] == "frame":
+                pdf = seg[1]
+                rows = _pdf_rows_to_dicts(pdf)  # one conversion per frame
+                zs = pdf["_z"].to_numpy()
+                txs = pdf["tile_x"].to_numpy()
+                tys = pdf["tile_y"].to_numpy()
+                n = len(pdf)
+                bounds = [0] + [i for i in range(1, n)
+                                if zs[i] != zs[i - 1] or txs[i] != txs[i - 1]
+                                or tys[i] != tys[i - 1]] + [n]
+                for bi in range(len(bounds) - 1):
+                    lo, hi = bounds[bi], bounds[bi + 1]
+                    _tb, _ch, stats = process_tile(
+                        rows[lo:hi], int(zs[lo]), int(txs[lo]), int(tys[lo]),
+                        cfg, pass_params=dict(params), emit_children=False)
+                    merge(stats)
+            else:
+                (z, tx, ty), spool = seg[1], seg[2]
+                try:
+                    rows_arg = spool.iter_rows if spool.spilled else \
+                        _pdf_rows_to_dicts(spool.concat())
+                    _tb, _ch, stats = process_tile(
+                        rows_arg, z, tx, ty, cfg,
+                        pass_params=dict(params), emit_children=False)
+                finally:
+                    spool.close()
+                merge(stats)
+        yield pd.DataFrame(
+            [(agg["gamma_out"], float(agg["mingap_out"]),
+              agg["minextent_out"], agg["fraction_out"], still)],
+            columns=["gamma_out", "mingap", "minextent", "fraction",
+                     "still_dropping"])
+
+    return fn
 
 
 def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ranks: int = 5_000_000):
@@ -544,7 +857,8 @@ def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool, shrink: bool = False
 
 
 def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact",
-                checkpoint_dir: str | None = None):
+                checkpoint_dir: str | None = None, skip_minzoom: bool = False,
+                only_tiles=None):
     """Spark zoom-pyramid build.
 
     Structure (the 100 TB design):
@@ -559,12 +873,20 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
     per-zoom encode groupBys; the exact dropped-point prefilter
     (operators.tiler.can_prefilter_dropped) keeps the hot z0-z4 tile
     groups small.  Returns a DataFrame (z int, x long, y long, tile
-    binary)."""
+    binary).
+
+    ``skip_minzoom``: features_df already carries an exact fmz column
+    (e.g. the streaming maintainer assigns it once and reuses it for
+    the change diff).  ``only_tiles``: optional (z, x, y) DataFrame —
+    encode only those tiles (semi-join after the cascade; the cascade
+    itself still runs every level so progressive ancestor clipping
+    stays byte-exact — incremental maintenance path)."""
     from pyspark.sql import functions as F
 
-    from .operators.tiler import can_prefilter_dropped, can_shrink_dropped, fanout_pdf
+    from .operators.tiler import can_prefilter_dropped, can_shrink_dropped
 
-    df = assign_minzoom_spark(features_df, cfg, minzoom_mode)
+    df = features_df if skip_minzoom else \
+        assign_minzoom_spark(features_df, cfg, minzoom_mode)
     par = spark.sparkContext.defaultParallelism
     import os as _os
 
@@ -605,22 +927,138 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
         # order-free)
         df = df.repartition(par * 2)
 
+    if cfg.extend_zooms and cfg.any_as_needed:
+        # --extend-zooms-if-still-dropping: maxzoom can grow while
+        # building, so the cascade cannot be planned ahead — run the
+        # zoom BFS driver-side, one level at a time (mirrors the local
+        # runner / tile.cpp:2883 exactly)
+        return _build_tiles_extend_spark(spark, df, cfg, par)
+
     allz = cascade_all_zooms(df, cfg, prefilter, shrink)
+    if only_tiles is not None:
+        # broadcast: tile COORDS only (~24 B/tile), so even a full-
+        # tileset affected set broadcasts cheaply; keeps the cascade
+        # narrow (no extra shuffle before the encode)
+        aff = (only_tiles.selectExpr("z AS _z", "x AS tile_x", "y AS tile_y")
+               .dropDuplicates(["_z", "tile_x", "tile_y"]))
+        allz = allz.join(F.broadcast(aff), ["_z", "tile_x", "tile_y"], "left_semi")
     if checkpoint_dir is not None:
         allz = allz.checkpoint(eager=False)
     return _encode_stage(allz, cfg, prefilter, par)
 
 
+def _build_tiles_extend_spark(spark, df, cfg_in: TileConfig, par: int):
+    """Spark --extend-zooms-if-still-dropping: per-zoom BFS.
+
+    The plan cannot be declared up front because maxzoom is data-
+    dependent (tile.cpp:2883: at the last zoom, if any write pass still
+    ratcheted a drop parameter, maxzoom++).  So the driver walks the
+    pyramid level by level — exactly build_tiles_local's loop — with
+    each level's fan-out a narrow mapInPandas and each level's two
+    encode passes the same streaming sorted-iterator machinery as the
+    fixed-zoom path.  still_dropping is the OR of pass-0 rows (collected
+    with the ratchet stats) and pass-1 tiles (a Spark accumulator:
+    retries can only re-OR, which is idempotent).
+
+    geometry_scale is frozen at the pre-extension maxzoom
+    (main.cpp:3123), matching build_tiles_local."""
+    import copy as _copy
+
+    from pyspark.sql import functions as F
+
+    cfg = _copy.deepcopy(cfg_in)
+    cfg.geometry_scale_override = cfg.geometry_scale
+    n_shards = max(par * 2, 8)
+    cols = [c.split()[0] for c in FEATURE_SCHEMA_DDL.split(", ")]
+
+    tile_dfs = []
+    cur = df
+    z = 0
+    while z <= cfg.maxzoom:
+        # freeze this zoom's view of cfg: detail_at / gates read maxzoom,
+        # and the local runner processes zoom z BEFORE any extension
+        zoom_cfg = _copy.deepcopy(cfg)
+        still = False
+        if z >= cfg.minzoom:
+            sub = _sorted_for_encode(
+                cur.withColumn("_z", F.lit(int(z)).cast("int")), n_shards)
+            # one sort shuffle shared by both passes
+            sub = sub.localCheckpoint(eager=False)
+            params = _zoom_params_init(z, zoom_cfg)
+            srows = sub.mapInPandas(
+                _make_stream_pass0(zoom_cfg, params),
+                schema=_PASS0_SCHEMA_DDL).collect()
+            for r in srows:
+                _merge_zoom_stats(params, {
+                    "gamma_out": r["gamma_out"], "mingap_out": int(r["mingap"]),
+                    "minextent_out": r["minextent"],
+                    "fraction_out": r["fraction"]})
+                still = still or bool(r["still_dropping"])
+            acc = spark.sparkContext.accumulator(0)
+            tiles_z = sub.mapInPandas(
+                _make_stream_encoder(zoom_cfg, False,
+                                     pass_params=dict(params),
+                                     still_acc=acc),
+                schema=TILES_SCHEMA_DDL)
+            # the extend decision needs pass-1 to have RUN: materialize
+            # this zoom's tiles now (also what makes the accumulator
+            # final)
+            tiles_z = tiles_z.localCheckpoint(eager=True)
+            tile_dfs.append(tiles_z)
+            still = still or acc.value > 0
+        if z == cfg.maxzoom and still and cfg.maxzoom < 24:
+            cfg.maxzoom += 1
+        if z < cfg.maxzoom:
+            def _fan(it, _z=z, _cfg=zoom_cfg):
+                from .operators.tiler import fanout_pdf as _fp
+
+                for pdf in it:
+                    out = _fp(pdf, _z, _cfg)
+                    yield out[cols]
+
+            cur = cur.mapInPandas(_fan, schema=FEATURE_SCHEMA_DDL)
+            # cut the per-level lineage so the DAG stays flat across up
+            # to 25 levels (materialized lazily by the next zoom's
+            # pass-0 action)
+            cur = cur.localCheckpoint(eager=False)
+        z += 1
+
+    out = tile_dfs[0]
+    for t in tile_dfs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+_PASS0_SCHEMA_DDL = ("gamma_out double, mingap double, minextent long, "
+                     "fraction double, still_dropping boolean")
+
+
 def _encode_stage(allz, cfg: TileConfig, prefilter: bool, par: int):
     """Encode shuffle(s) over the cascaded (feature, _z) rows: one
     hash-sharded pass for plain modes, two passes per zoom (driver
-    ratchet merge between them) for the as-needed modes."""
+    ratchet merge between them) for the as-needed modes.
+
+    Default path: sorted-iterator streaming encode (repartition by tile
+    + sortWithinPartitions + mapInPandas over a disk-spilling per-run
+    spool) — a hot z0-z4 tile group never materializes as one pandas
+    frame.  TS_STREAM_ENCODE=0 falls back to the old whole-group
+    applyInPandas (debug/A-B only)."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
     n_shards = max(par * 8, 16)
-    shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
+    # streaming path: one reduce task per core wave is enough — the
+    # spool absorbs hot-group skew, and 8x-overpartitioning costs more
+    # in task/Arrow setup than it buys in balance (measured)
+    n_parts = max(par * 2, 8)
+    stream = _os.environ.get("TS_STREAM_ENCODE", "1") == "1"
 
     if not cfg.any_as_needed:
+        if stream:
+            return _sorted_for_encode(allz, n_parts).mapInPandas(
+                _make_stream_encoder(cfg, prefilter), schema=TILES_SCHEMA_DDL)
+        shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
         enc = _make_encode_processor(cfg, prefilter)
         return (
             allz.withColumn("_shard", shard)
@@ -640,20 +1078,32 @@ def _encode_stage(allz, cfg: TileConfig, prefilter: bool, par: int):
     allz = allz.localCheckpoint(eager=False)
     tile_dfs = []
     for z in range(cfg.minzoom, cfg.maxzoom + 1):
-        sub = allz.filter(F.col("_z") == z).withColumn("_shard", shard)
         params = _zoom_params_init(z, cfg)
-        stats_fn = _make_pass0_processor(cfg, z, params)
-        srows = sub.groupBy("_shard").applyInPandas(
-            stats_fn,
-            schema="gamma_out double, mingap double, minextent long, fraction double",
-        ).collect()
+        if stream:
+            sub = _sorted_for_encode(allz.filter(F.col("_z") == z), n_parts)
+            # one sort shuffle reused by both passes: localCheckpoint
+            # materializes the sorted partitions on the pass-0 action
+            sub = sub.localCheckpoint(eager=False)
+            srows = sub.mapInPandas(
+                _make_stream_pass0(cfg, params), schema=_PASS0_SCHEMA_DDL).collect()
+        else:
+            shard = F.pmod(F.hash("_z", "tile_x", "tile_y"), F.lit(n_shards))
+            sub = allz.filter(F.col("_z") == z).withColumn("_shard", shard)
+            srows = sub.groupBy("_shard").applyInPandas(
+                _make_pass0_processor(cfg, z, params),
+                schema=_PASS0_SCHEMA_DDL).collect()
         for r in srows:
             _merge_zoom_stats(params, {
                 "gamma_out": r["gamma_out"], "mingap_out": int(r["mingap"]),
                 "minextent_out": r["minextent"], "fraction_out": r["fraction"]})
-        enc = _make_encode_processor(cfg, False, pass_params=dict(params))
-        tile_dfs.append(
-            sub.groupBy("_shard").applyInPandas(enc, schema=TILES_SCHEMA_DDL))
+        if stream:
+            tile_dfs.append(sub.mapInPandas(
+                _make_stream_encoder(cfg, False, pass_params=dict(params)),
+                schema=TILES_SCHEMA_DDL))
+        else:
+            enc = _make_encode_processor(cfg, False, pass_params=dict(params))
+            tile_dfs.append(
+                sub.groupBy("_shard").applyInPandas(enc, schema=TILES_SCHEMA_DDL))
     out = tile_dfs[0]
     for t in tile_dfs[1:]:
         out = out.unionByName(t)
@@ -672,6 +1122,7 @@ def _make_pass0_processor(cfg: TileConfig, z: int, params: dict):
         n = len(rows)
         bounds = [0] + [i for i in range(1, n) if txs[i] != txs[i - 1] or tys[i] != tys[i - 1]] + [n]
         agg = {"gamma_out": 0.0, "mingap_out": 0, "minextent_out": 0, "fraction_out": 1.0}
+        still = False
         for bi in range(len(bounds) - 1):
             lo, hi = bounds[bi], bounds[bi + 1]
             _tb, _ch, stats = process_tile(
@@ -682,8 +1133,11 @@ def _make_pass0_processor(cfg: TileConfig, z: int, params: dict):
                     agg[k] = stats[k]
             if stats["fraction_out"] < agg["fraction_out"]:
                 agg["fraction_out"] = stats["fraction_out"]
-        return pd.DataFrame([(agg["gamma_out"], float(agg["mingap_out"]),
-                              agg["minextent_out"], agg["fraction_out"])],
-                            columns=["gamma_out", "mingap", "minextent", "fraction"])
+            still = still or stats["still_dropping"]
+        return pd.DataFrame(
+            [(agg["gamma_out"], float(agg["mingap_out"]),
+              agg["minextent_out"], agg["fraction_out"], still)],
+            columns=["gamma_out", "mingap", "minextent", "fraction",
+                     "still_dropping"])
 
     return fn

@@ -29,11 +29,18 @@ zoom through the pass-0 parameter discovery (tile.cpp:2778-2880), so a
 single insert can invalidate a whole zoom; those configs are rejected
 rather than silently approximated.
 
-Scale path: the same contract distributes — fmz via
-assign_minzoom_spark, the changed-fmz diff as a join on (ix, seq), and
-per-affected-tile rebuilds as one groupBy over the affected set; this
-module is the single-process reference implementation the streaming
-foreachBatch sink (`foreach_batch_sink`) drives.
+Two implementations of the same contract:
+
+- ``TileMaintainer``: single-process reference (a Python list store).
+  Semantics anchor; small-scale only.
+- ``SparkTileMaintainer``: the scale path.  The feature store and the
+  tileset live in PARQUET (appended / swapped per batch — nothing
+  O(all-features) on the driver); fmz comes from assign_minzoom_spark;
+  the changed-fmz diff is a join on (ix, seq) against the previous
+  snapshot; the rebuild is ONE cascade+encode restricted to the
+  affected tile set (build_tiles(only_tiles=...)) — progressive
+  ancestor clipping replays inside the cascade itself, so bytes match
+  the batch build exactly.
 """
 
 from __future__ import annotations
@@ -41,14 +48,45 @@ from __future__ import annotations
 from ..config import TileConfig
 
 
+def _cover_tiles(mnx, mny, mxx, mxy, cfg: TileConfig) -> set:
+    """All (z, x, y) whose BUFFERED box intersects the feature bbox,
+    minzoom..maxzoom, including date-line wrapped copies (z0 edge
+    duplication, clip_to_tile tile.cpp:1228-1254)."""
+    W = 1 << 32
+    edge = W * cfg.buffer // 256
+    boxes = [(mnx, mxx)]
+    if mnx < edge:
+        boxes.append((mnx + W, min(mxx + W, W - 1)))
+    if mxx > W - edge:
+        boxes.append((max(mnx - W, 0), mxx - W))
+
+    out = set()
+    for bx0, bx1 in boxes:
+        for z in range(cfg.minzoom, cfg.maxzoom + 1):
+            size = 1 << (32 - z)
+            margin = size * cfg.buffer // 256
+            tx0 = max(0, bx0 - margin) >> (32 - z)
+            tx1 = min(W - 1, bx1 + margin) >> (32 - z)
+            ty0 = max(0, mny - margin) >> (32 - z)
+            ty1 = min(W - 1, mxy + margin) >> (32 - z)
+            for tx in range(tx0, tx1 + 1):
+                for ty in range(ty0, ty1 + 1):
+                    out.add((z, tx, ty))
+    return out
+
+
+def _check_maintainable(cfg: TileConfig) -> None:
+    if cfg.any_as_needed or cfg.accumulate or cfg.gamma > 0 \
+            or cfg.cluster_distance != 0 or cfg.extend_zooms:
+        raise NotImplementedError(
+            "incremental maintenance requires per-tile-local modes; "
+            "zoom-global as-needed/accumulate/gamma/cluster configs "
+            "couple tiles through pass-0 discovery")
+
+
 class TileMaintainer:
     def __init__(self, cfg: TileConfig):
-        if cfg.any_as_needed or cfg.accumulate or cfg.gamma > 0 \
-                or cfg.cluster_distance != 0 or cfg.extend_zooms:
-            raise NotImplementedError(
-                "incremental maintenance requires per-tile-local modes; "
-                "zoom-global as-needed/accumulate/gamma/cluster configs "
-                "couple tiles through pass-0 discovery")
+        _check_maintainable(cfg)
         self.cfg = cfg
         self.feats: list = []
         self.tiles: dict = {}
@@ -72,30 +110,7 @@ class TileMaintainer:
             mnx, mxx = int(xs.min()), int(xs.max())
             mny, mxy = int(ys.min()), int(ys.max())
 
-        W = 1 << 32
-        # z0 duplicates edge-buffer features across the date line
-        # (clip_to_tile, tile.cpp:1228-1254), so descendants can land on
-        # the far side: cover the wrapped copies too
-        edge = W * cfg.buffer // 256
-        boxes = [(mnx, mxx)]
-        if mnx < edge:
-            boxes.append((mnx + W, min(mxx + W, W - 1)))
-        if mxx > W - edge:
-            boxes.append((max(mnx - W, 0), mxx - W))
-
-        out = set()
-        for bx0, bx1 in boxes:
-            for z in range(cfg.minzoom, cfg.maxzoom + 1):
-                size = 1 << (32 - z)
-                margin = size * cfg.buffer // 256
-                tx0 = max(0, bx0 - margin) >> (32 - z)
-                tx1 = min(W - 1, bx1 + margin) >> (32 - z)
-                ty0 = max(0, mny - margin) >> (32 - z)
-                ty1 = min(W - 1, mxy + margin) >> (32 - z)
-                for tx in range(tx0, tx1 + 1):
-                    for ty in range(ty0, ty1 + 1):
-                        out.add((z, tx, ty))
-        return out
+        return _cover_tiles(mnx, mny, mxx, mxy, cfg)
 
     # -- exact single-tile rebuild (cascade-path replay) -------------------
 
@@ -107,7 +122,11 @@ class TileMaintainer:
         from ..pipeline import _zoom_params_init
 
         cfg = self.cfg
-        rows = [dict(f) for f in self.feats]
+        # shallow copy is enough: process_tile never mutates its input
+        # dicts (rows are re-dict'ed before any edit), and apply_batch
+        # already left self.feats (ix, seq)-sorted, so the per-level
+        # sorts below are O(n) no-op verification passes
+        rows = list(self.feats)
         for zz in range(0, z + 1):
             tx, ty = x >> (z - zz), y >> (z - zz)
             rows.sort(key=lambda f: (
@@ -176,5 +195,157 @@ def foreach_batch_sink(maintainer: TileMaintainer, rows_to_features):
         feats = rows_to_features(batch_df)
         if feats:
             maintainer.apply_batch(feats)
+
+    return sink
+
+
+class SparkTileMaintainer:
+    """Distributed incremental maintenance (the scale path).
+
+    All state is parquet under ``store_dir`` — the driver holds only
+    paths and a version counter, never the features:
+
+      features/   append-only store (cascade schema, pipeline.
+                  FEATURE_SCHEMA_DDL)
+      fmz_v{N}/   (ix, seq, fmz) snapshot after batch N
+      tiles_v{N}/ the maintained tileset after batch N
+
+    Per batch: append → assign_minzoom_spark over the full store (fmz
+    is a global-rank function, main.cpp:269-294) → anti/diff join on
+    (ix, seq) against the previous fmz snapshot picks the new-or-
+    shifted features → their buffered tile covers (date-line wraps
+    included) form the affected set → ONE restricted cascade+encode
+    (pipeline.build_tiles(only_tiles=affected)) rebuilds exactly those
+    tiles → the new tileset is (old tiles ∖ affected) ∪ rebuilt,
+    written as the next version.  Byte-equal to the batch build by the
+    same argument as TileMaintainer (progressive ancestor clipping
+    happens inside the cascade)."""
+
+    def __init__(self, spark, cfg: TileConfig, store_dir: str):
+        _check_maintainable(cfg)
+        import os
+
+        self.spark = spark
+        self.cfg = cfg
+        self.store_dir = store_dir
+        os.makedirs(store_dir, exist_ok=True)
+        self.version = 0
+        self.last_affected: set = set()
+
+    def _path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.store_dir, name)
+
+    def apply_batch(self, batch_df) -> set:
+        """Append a feature micro-batch (cascade schema) and bring the
+        tileset current.  Returns the affected (z, x, y) set (tile
+        coords only — O(affected tiles) on the driver)."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from ..pipeline import assign_minzoom_spark, build_tiles
+
+        spark, cfg = self.spark, self.cfg
+        fdir = self._path("features")
+        batch_df.write.mode("append").parquet(fdir)
+
+        store = spark.read.parquet(fdir)
+        withf = assign_minzoom_spark(store, cfg)
+
+        prev_dir = self._path(f"fmz_v{self.version}")
+        if os.path.exists(prev_dir):
+            prev = (spark.read.parquet(prev_dir)
+                    .withColumnRenamed("fmz", "_pfmz"))
+            changed = (withf.join(prev, ["ix", "seq"], "left")
+                       .filter("_pfmz IS NULL OR _pfmz <> fmz")
+                       .drop("_pfmz"))
+        else:
+            changed = withf
+
+        cover_cfg = cfg
+
+        def cover(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                recs = set()
+                for xs_b, ys_b in zip(pdf["xs"], pdf["ys"]):
+                    xs = np.frombuffer(xs_b, dtype=np.int64)
+                    if len(xs) == 0:
+                        continue
+                    ys = np.frombuffer(ys_b, dtype=np.int64)
+                    recs |= _cover_tiles(int(xs.min()), int(ys.min()),
+                                         int(xs.max()), int(ys.max()),
+                                         cover_cfg)
+                if recs:
+                    out = sorted(recs)
+                    yield pd.DataFrame({"z": [r[0] for r in out],
+                                        "x": [r[1] for r in out],
+                                        "y": [r[2] for r in out]})
+
+        aff_df = (changed.select("xs", "ys")
+                  .mapInPandas(cover, schema="z int, x long, y long")
+                  .dropDuplicates(["z", "x", "y"]))
+        affected = {(r["z"], r["x"], r["y"]) for r in aff_df.collect()}
+        self.last_affected = affected
+
+        new_fmz_dir = self._path(f"fmz_v{self.version + 1}")
+        withf.select("ix", "seq", "fmz").write.parquet(new_fmz_dir)
+
+        tiles_dir = self._path(f"tiles_v{self.version}")
+        new_tiles_dir = self._path(f"tiles_v{self.version + 1}")
+        if affected:
+            aff = spark.createDataFrame(
+                sorted(affected), schema="z int, x long, y long")
+            rebuilt = build_tiles(spark, withf, cfg, skip_minzoom=True,
+                                  only_tiles=aff)
+        else:
+            rebuilt = None
+        if os.path.exists(tiles_dir):
+            kept = spark.read.parquet(tiles_dir)
+            if affected:
+                aff2 = spark.createDataFrame(
+                    sorted(affected), schema="z int, x long, y long")
+                kept = kept.join(F.broadcast(aff2), ["z", "x", "y"],
+                                 "left_anti")
+            out = kept.unionByName(rebuilt) if rebuilt is not None else kept
+        else:
+            out = rebuilt
+        if out is None:
+            os.makedirs(new_tiles_dir, exist_ok=True)
+        else:
+            out.write.parquet(new_tiles_dir)
+
+        self.version += 1
+        for stale in (prev_dir, tiles_dir):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        return affected
+
+    def tiles(self) -> dict:
+        """Materialize the current tileset as {(z, x, y): bytes} (test/
+        export convenience; the state itself stays in parquet)."""
+        import os
+
+        d = self._path(f"tiles_v{self.version}")
+        if not os.path.exists(d) or not any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return {}
+        return {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                for r in self.spark.read.parquet(d).collect()}
+
+
+def spark_foreach_batch_sink(maintainer: SparkTileMaintainer):
+    """foreachBatch adapter for the distributed maintainer: the batch
+    DataFrame goes straight into the parquet store (no driver
+    collection)."""
+    def sink(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        maintainer.apply_batch(batch_df)
 
     return sink
