@@ -469,6 +469,32 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, k=3, bands=4, n=n)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup (operators.ann.
+    embedding_near_dup_pairs): LSH-bucketed candidate pairs (no
+    crossJoin), exact integer-quantized cosine >= 0.99, keep-smaller-id
+    survivor rule.  The synthetic table has no natural near-dups (max
+    pairwise cosine ~0.44), so the corpus is augmented with
+    deterministic RESCALED copies (vec_id+100000, embedding * 1.25 in
+    double — exactly representable, engine-identical): cosine is
+    scale-invariant, so each copy is a planted near-dup of its source
+    and sign-random-projection LSH provably buckets it with the source
+    in every band (recall 1.0 for this class)."""
+    from tippecanoe_spark.operators.ann import (embedding_near_dup_pairs,
+                                                parquet_row_count, planes_for)
+
+    emb = _load(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    dups = base.filter("vec_id < 50").selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "transform(embedding, x -> x * CAST(1.25 AS DOUBLE)) AS embedding")
+    aug = base.unionByName(dups)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet") + 50
+    return embedding_near_dup_pairs(aug, threshold=0.99, bands=2,
+                                    planes=planes_for(n), n=n)
+
+
 def q_knn_cell(spark, sf_dir):
     """kNN through the scale path (operators.spatial.knn_join): targets
     bucketed by quadtree cell, each query joins only its 3x3 cell
@@ -780,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
         "knn_cell": q_knn_cell,
         "embedding_norms": q_embedding_norms,
         "rasterize": q_rasterize,
@@ -821,6 +848,25 @@ def _ann_lsh_oracle() -> str:
     from tippecanoe_spark.operators.ann import ann_lsh_oracle_sql, planes_for
 
     return ann_lsh_oracle_sql(k=3, bands=4, planes=planes_for(500))
+
+
+def _dedup_embedding_oracle() -> str:
+    """DuckDB mirror of q_dedup_embedding: same augmented corpus
+    (double-cast originals + *1.25 rescaled copies of vec_id < 50),
+    same LSH buckets, same quantized cosine and threshold."""
+    from tippecanoe_spark.operators.ann import (embedding_near_dup_oracle_sql,
+                                                planes_for)
+
+    aug = ("aug AS ("
+           "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+           "AS embedding FROM embeddings "
+           "UNION ALL "
+           "SELECT vec_id + 100000 AS vec_id, "
+           "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.25) "
+           "AS embedding FROM embeddings WHERE vec_id < 50)")
+    body = embedding_near_dup_oracle_sql(
+        threshold=0.99, bands=2, planes=planes_for(550), source_cte="aug")
+    return f"WITH {aug}, {body}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -948,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
         "SELECT qid, rk, cid, sim FROM ranked WHERE rk <= 3",
         "ann_lsh": _ann_lsh_oracle(),
+        "dedup_embedding": _dedup_embedding_oracle(),
         "knn_cell": xy + ", pts AS (SELECT event_id, "
         "((event_id * 2654435761) % 4294967296) / 4294967296E0 * 360E0 - 180E0 AS lon, "
         "((event_id * 2246822519 + 3266489917) % 4294967296) / 4294967296E0 * 170E0 - 85E0 AS lat "

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "minhash_bands",
     "ann_cosine_topk",
     "ann_lsh",
+    "dedup_embedding",
     "knn_cell",
     "rasterize",
     "simhash",

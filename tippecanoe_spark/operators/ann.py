@@ -158,6 +158,76 @@ def ann_lsh_candidate_stats(emb, bands: int = 4, planes: int | None = None,
     }
 
 
+def embedding_near_dup_pairs(emb, threshold: float = 0.99, bands: int = 2,
+                             planes: int | None = None, dim: int = 64,
+                             n: int | None = None):
+    """Embedding-cosine near-duplicate detection (the dedup-mode
+    counterpart of ann_lsh_topk): bucket every vector with multi-band
+    sign-random-projection LSH, generate candidate pairs ONLY within
+    (band, bucket) — a plain self equi-join, no crossJoin — and keep
+    pairs whose exact integer-quantized cosine >= threshold.  The
+    survivor rule is keep-the-smaller-id: every returned (keep_id,
+    dup_id) has keep_id < dup_id, so the dup side is the drop set.
+
+    Sign-random-projection is invariant to positive scaling, so
+    scaled/renormalized copies of a vector land in IDENTICAL buckets in
+    every band — recall 1.0 for the exact-duplicate and rescaled-
+    duplicate classes, compounding 1-(1-r^P)^B for merely-similar
+    pairs.  Scale shape: candidates per vector ~ B * occupancy
+    (planes_for grows P with the corpus), one shuffle for the join, one
+    for the dedup."""
+    from pyspark.sql import functions as F
+
+    if planes is None:
+        planes = planes_for(n if n is not None else emb.count())
+    bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
+    withb = emb.selectExpr("vec_id", "embedding", *bexprs)
+    exploded = withb.select(
+        "vec_id", "embedding",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
+        .alias("band", "bucket"))
+    a = exploded.selectExpr("vec_id AS keep_id", "embedding AS qe", "band", "bucket")
+    b = exploded.selectExpr("vec_id AS dup_id", "embedding AS ce", "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+             .filter("keep_id < dup_id")
+             .dropDuplicates(["keep_id", "dup_id"]))
+    dot = (f"aggregate(zip_with(qe, ce, (x, y) -> {_quant('x')} * {_quant('y')}), "
+           "0L, (acc, v) -> acc + v)")
+    na = (f"aggregate(transform(qe, x -> {_quant('x')} * {_quant('x')}), "
+          "0L, (acc, v) -> acc + v)")
+    nb = (f"aggregate(transform(ce, x -> {_quant('x')} * {_quant('x')}), "
+          "0L, (acc, v) -> acc + v)")
+    return (cand.selectExpr(
+        "keep_id", "dup_id",
+        f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS sim")
+        .filter(f"sim >= {threshold}"))
+
+
+def embedding_near_dup_oracle_sql(threshold: float = 0.99, bands: int = 2,
+                                  planes: int = 4, dim: int = 64,
+                                  source_cte: str = "embeddings") -> str:
+    """DuckDB mirror of embedding_near_dup_pairs over ``source_cte``
+    (a table/CTE with vec_id + DOUBLE[] embedding)."""
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"{band_bucket_expr(b, planes, dim, duck=True)} AS bucket FROM {source_cte}"
+        for b in range(bands))
+    qi = (f"list_transform(embedding, x -> {_quant('x')})")
+    return (
+        f"bkt AS ({per_band}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id "
+        "FROM bkt a JOIN bkt b USING (band, bucket) WHERE a.vec_id < b.vec_id), "
+        f"vq AS (SELECT vec_id, {qi} AS q FROM (SELECT DISTINCT vec_id, embedding FROM {source_cte})), "
+        "scored AS (SELECT keep_id, dup_id, "
+        "round(CAST(list_sum(list_transform(generate_series(1, len(qa.q)), "
+        "i -> qa.q[i] * qb.q[i])) AS DOUBLE) / "
+        "(sqrt(CAST(list_sum(list_transform(qa.q, x -> x * x)) AS DOUBLE)) * "
+        "sqrt(CAST(list_sum(list_transform(qb.q, x -> x * x)) AS DOUBLE))), 6) AS sim "
+        "FROM cand JOIN vq qa ON qa.vec_id = keep_id JOIN vq qb ON qb.vec_id = dup_id) "
+        f"SELECT keep_id, dup_id, sim FROM scored WHERE sim >= {threshold}"
+    )
+
+
 def ann_lsh_oracle_sql(k: int = 3, bands: int = 4, planes: int = 4,
                        dim: int = 64, table: str = "embeddings",
                        query_pred: str = "vec_id < 10") -> str:
