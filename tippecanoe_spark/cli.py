@@ -503,11 +503,15 @@ def build_main(argv) -> int:
                 if eng["force"] and os.path.exists(eng["output"]):
                     os.remove(eng["output"])
                 # materialize the pyramid in PARALLEL (count on a
-                # disk-spillable cache), then stream the cached
-                # partitions to the single sqlite writer one at a time —
-                # toLocalIterator alone would run the encode jobs
-                # serially per partition
-                tiles_df = tiles_df.persist(StorageLevel.MEMORY_AND_DISK)
+                # DISK_ONLY cache: the blocks are written once and
+                # streamed back per partition — a memory-backed level
+                # would try to re-heap whole evicted blocks during the
+                # iterator scan, capping the tileset at executor
+                # memory), then stream the cached partitions to the
+                # single sqlite writer one at a time — toLocalIterator
+                # alone would run the encode jobs serially per
+                # partition
+                tiles_df = tiles_df.persist(StorageLevel.DISK_ONLY)
                 try:
                     tiles_df.count()
                     n_tiles, busiest = write_mbtiles_stream(
