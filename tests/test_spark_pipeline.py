@@ -242,20 +242,28 @@ def test_spark_extend_zooms_matches_local(spark):
 
 
 def test_spark_spilled_encode_matches_local(spark, monkeypatch):
-    """Force the encode spool to spill (TS_SPOOL_MEM_ROWS=64): every
-    tile run takes the disk-backed re-iterable ladder path; bytes must
-    not change.  Covers plain AND as-needed modes over mixed geometry
-    (muni points + roads lines through the same assertions)."""
+    """Force the encode spool to actually SPILL: tiny Arrow batches
+    (256 rows) make the hot low-zoom runs cross many batch boundaries
+    — the _stream_segments spool path — and TS_SPOOL_MEM_ROWS=64
+    (read driver-side at plan build; the worker daemon's env is frozen
+    at JVM start) pushes every such run onto disk.  The disk-backed
+    re-iterable ladder must not change a byte.  Covers plain AND
+    as-needed modes."""
     from tests.conftest import options_to_config
     from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
 
     monkeypatch.setenv("TS_SPOOL_MEM_ROWS", "64")
-    for opts in ("-z5", "-z5 -M2000 --drop-densest-as-needed"):
-        cfg = options_to_config(opts)
-        feats = _muni_feats(cfg)
-        local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
-        cfg2 = options_to_config(opts)
-        df = spark.createDataFrame(features_to_pdf(feats))
-        got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
-               for r in build_tiles(spark, df, cfg2).collect()}
-        assert got == local_tiles, opts
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    try:
+        for opts in ("-z5", "-z5 -M2000 --drop-densest-as-needed"):
+            cfg = options_to_config(opts)
+            feats = _muni_feats(cfg)
+            local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+            cfg2 = options_to_config(opts)
+            df = spark.createDataFrame(features_to_pdf(feats))
+            got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                   for r in build_tiles(spark, df, cfg2).collect()}
+            assert got == local_tiles, opts
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)

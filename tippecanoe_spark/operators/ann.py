@@ -102,26 +102,32 @@ def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
         planes = planes_for(n if n is not None else emb.count())
 
     bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
-    withb = emb.selectExpr("vec_id", "embedding", *bexprs)
+    # quantized vector + squared norm computed ONCE PER VECTOR before
+    # the join — the pair scorer then only does the dot product.  At
+    # occupancy ~64 each vector appears in ~B*64 pairs, so per-pair
+    # re-quantization would multiply the lambda-eval work ~3x.
+    withb = emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> {_quant('x')}) AS q",
+        *bexprs).selectExpr(
+        "vec_id", "q",
+        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) AS n2",
+        *[f"b{b}" for b in range(bands)])
     exploded = withb.select(
-        "vec_id", "embedding",
+        "vec_id", "q", "n2",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
         .alias("band", "bucket"))
     qv = exploded.filter(query_pred).selectExpr(
-        "vec_id AS qid", "embedding AS qe", "band", "bucket")
+        "vec_id AS qid", "q AS qa", "n2 AS na", "band", "bucket")
     cv = exploded.filter(f"NOT ({query_pred})").selectExpr(
-        "vec_id AS cid", "embedding AS ce", "band", "bucket")
+        "vec_id AS cid", "q AS qb", "n2 AS nb", "band", "bucket")
     cand = (qv.join(cv, ["band", "bucket"])
               .dropDuplicates(["qid", "cid"]))
 
-    dot = (f"aggregate(zip_with(qe, ce, (x, y) -> {_quant('x')} * {_quant('y')}), "
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
            "0L, (acc, v) -> acc + v)")
-    na = (f"aggregate(transform(qe, x -> {_quant('x')} * {_quant('x')}), "
-          "0L, (acc, v) -> acc + v)")
-    nb = (f"aggregate(transform(ce, x -> {_quant('x')} * {_quant('x')}), "
-          "0L, (acc, v) -> acc + v)")
     scored = cand.selectExpr(
-        "qid", "cid", f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS sim")
+        "qid", "cid", f"round(({dot}) / (sqrt(na) * sqrt(nb)), 6) AS sim")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(f"rk <= {k}").select("qid", "rk", "cid", "sim"))
@@ -181,25 +187,31 @@ def embedding_near_dup_pairs(emb, threshold: float = 0.99, bands: int = 2,
     if planes is None:
         planes = planes_for(n if n is not None else emb.count())
     bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
-    withb = emb.selectExpr("vec_id", "embedding", *bexprs)
+    # quantize + norm once per vector (see ann_lsh_topk): the pair
+    # scorer below is dot-product-only
+    withb = emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> {_quant('x')}) AS q",
+        *bexprs).selectExpr(
+        "vec_id", "q",
+        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) AS n2",
+        *[f"b{b}" for b in range(bands)])
     exploded = withb.select(
-        "vec_id", "embedding",
+        "vec_id", "q", "n2",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
         .alias("band", "bucket"))
-    a = exploded.selectExpr("vec_id AS keep_id", "embedding AS qe", "band", "bucket")
-    b = exploded.selectExpr("vec_id AS dup_id", "embedding AS ce", "band", "bucket")
+    a = exploded.selectExpr("vec_id AS keep_id", "q AS qa", "n2 AS na",
+                            "band", "bucket")
+    b = exploded.selectExpr("vec_id AS dup_id", "q AS qb", "n2 AS nb",
+                            "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
              .filter("keep_id < dup_id")
              .dropDuplicates(["keep_id", "dup_id"]))
-    dot = (f"aggregate(zip_with(qe, ce, (x, y) -> {_quant('x')} * {_quant('y')}), "
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
            "0L, (acc, v) -> acc + v)")
-    na = (f"aggregate(transform(qe, x -> {_quant('x')} * {_quant('x')}), "
-          "0L, (acc, v) -> acc + v)")
-    nb = (f"aggregate(transform(ce, x -> {_quant('x')} * {_quant('x')}), "
-          "0L, (acc, v) -> acc + v)")
     return (cand.selectExpr(
         "keep_id", "dup_id",
-        f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS sim")
+        f"round(({dot}) / (sqrt(na) * sqrt(nb)), 6) AS sim")
         .filter(f"sim >= {threshold}"))
 
 

@@ -489,7 +489,7 @@ def _sorted_for_encode(allz, n_shards: int):
     )
 
 
-def _stream_segments(it):
+def _stream_segments(it, mem_rows: int | None = None):
     """Split the sorted batch stream into two kinds of work units:
 
       ("frame", sub_pdf)      — a slice of one batch holding only
@@ -508,7 +508,8 @@ def _stream_segments(it):
     ~everything on healthy data."""
     import os as _os
 
-    mem_rows = int(_os.environ.get(_SPOOL_MEM_ROWS_ENV, str(1 << 16)))
+    if mem_rows is None:
+        mem_rows = int(_os.environ.get(_SPOOL_MEM_ROWS_ENV, str(1 << 16)))
     key = None
     spool = None
     for pdf in it:
@@ -563,8 +564,14 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
     still_dropping (extend-zooms decision at the last zoom).  Task
     retries can only re-add — an OR is idempotent, so transformation-
     side accumulation is safe here."""
+    import os as _os
+
     from .operators.tiler import (encode_points_tile_fast,
                                   prefilter_dropped_mask, process_tile)
+
+    # read DRIVER-side at plan-build time (the worker daemon's env is
+    # frozen at JVM start, so a late setenv would silently not reach it)
+    mem_rows = int(_os.environ.get(_SPOOL_MEM_ROWS_ENV, str(1 << 16)))
 
     def encode_run(key, spool):
         z, tx, ty = key
@@ -604,7 +611,7 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
     def fn(it):
         still = [] if still_acc is not None else None
         recs = []
-        for seg in _stream_segments(it):
+        for seg in _stream_segments(it, mem_rows):
             if seg[0] == "frame":
                 recs.extend(_encode_sorted_frame(
                     seg[1], cfg, prefilter, pass_params, still_flag=still))
@@ -629,7 +636,11 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
 def _make_stream_pass0(cfg: TileConfig, params: dict):
     """Pass-0 discovery over the sorted stream: run every tile's ladder
     without writing, emit one per-partition row of ratchet maxima."""
+    import os as _os
+
     from .operators.tiler import process_tile
+
+    mem_rows = int(_os.environ.get(_SPOOL_MEM_ROWS_ENV, str(1 << 16)))
 
     def fn(it):
         agg = {"gamma_out": 0.0, "mingap_out": 0, "minextent_out": 0,
@@ -645,7 +656,7 @@ def _make_stream_pass0(cfg: TileConfig, params: dict):
                 agg["fraction_out"] = stats["fraction_out"]
             still = still or stats["still_dropping"]
 
-        for seg in _stream_segments(it):
+        for seg in _stream_segments(it, mem_rows):
             if seg[0] == "frame":
                 pdf = seg[1]
                 rows = _pdf_rows_to_dicts(pdf)  # one conversion per frame
