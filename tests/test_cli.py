@@ -400,6 +400,41 @@ def test_cli_build_spark_dirtiles_matches_reference(tmp_path):
         assert our_meta[k] == ref_meta[k], (k, ref_meta[k], our_meta[k])
 
 
+@requires_reference
+def test_cli_tile_stats_limits_match_reference(tmp_path):
+    """--tile-stats-values-limit / --tile-stats-sample-values-limit
+    change the tilestats block in the metadata json exactly like the
+    reference (mbtiles.cpp globals, main.cpp:2684-2689)."""
+    import sqlite3
+
+    from tippecanoe_spark.cli import main
+    from tippecanoe_spark.operators import stats as stats_mod
+
+    saved = (stats_mod.MAX_TILESTATS_ATTRIBUTES,
+             stats_mod.MAX_TILESTATS_SAMPLE_VALUES,
+             stats_mod.MAX_TILESTATS_VALUES)
+    try:
+        src = f"{REF_TESTS}/muni/muni.json"
+        ref_out = tmp_path / "ref.mbtiles"
+        our_out = tmp_path / "ours.mbtiles"
+        opts = ["-q", "-f", "-z3", "--tile-stats-values-limit", "3",
+                "--tile-stats-sample-values-limit", "7"]
+        subprocess.run([REFBIN, *opts, "-o", str(ref_out), src],
+                       check=True, capture_output=True)
+        rc = main([*opts, "--spark-master", "local[4]",
+                   "-o", str(our_out), src])
+        assert rc == 0
+        ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
+            "select name, value from metadata"))
+        our_meta = dict(sqlite3.connect(str(our_out)).execute(
+            "select name, value from metadata"))
+        assert our_meta["json"] == ref_meta["json"]
+    finally:
+        (stats_mod.MAX_TILESTATS_ATTRIBUTES,
+         stats_mod.MAX_TILESTATS_SAMPLE_VALUES,
+         stats_mod.MAX_TILESTATS_VALUES) = saved
+
+
 def test_cli_errors():
     from tippecanoe_spark.cli import main
 

@@ -104,6 +104,11 @@ CASES = [
      "-z8 -Z8 -C 'grep -v 11041047080'", True),
     ("tl_2018_51685_roads/in.json", "in",
      "-z8 -Z8 -c 'grep -v 11041047080'", True),
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -pn", True),
+    ("muni/muni.json", "muni", "-z6 -pn", True),
+    # long-form spellings must behave exactly like the short ones
+    ("muni/muni.json", "muni", "--maximum-zoom 6 --base-zoom 5 --drop-rate 2 --prevent gf", True),
+    ("tl_2018_51685_roads/in.json", "in", "--maximum-zoom 7 --simplification 4 --no-simplification-of-shared-nodes", True),
     ("polygon-winding/in.json", "in", "-z3 -c 'tee /dev/null'", True),
 ]
 

@@ -115,3 +115,31 @@ def test_layer_rename_parity(tmp_path):
     ours = tile_join_local(tiles, None, renames={"in": "renamed"})
     assert set(ref) == set(ours)
     assert all(ref[k] == ours[k] for k in ref)
+
+
+def test_read_dirtiles_spark_roundtrip(tmp_path):
+    """Distributed dirtiles scan (io.dirtiles.read_dirtiles_spark):
+    the binaryFile-source DataFrame carries exactly the tiles the
+    sequential reader sees, and feeds tile_join distributed with
+    byte-identical output to tile_join_local."""
+    from tests.conftest import run_ours
+    from tippecanoe_spark.io.dirtiles import (read_dirtiles,
+                                              read_dirtiles_spark,
+                                              write_dirtiles)
+    from tippecanoe_spark.operators.tilejoin import tile_join, tile_join_local
+    from tippecanoe_spark.session import get_spark
+
+    src = _with_geoid(str(tmp_path))
+    tiles = run_ours(src, "-z4", layer="in")
+    outdir = tmp_path / "dir"
+    write_dirtiles(str(outdir), tiles)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = read_dirtiles_spark(spark, str(outdir))
+    got = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
+    assert got == read_dirtiles(str(outdir)) == tiles
+
+    want = tile_join_local(tiles, CSV)
+    joined = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+              for r in tile_join(spark, df, CSV).collect()}
+    assert joined == want

@@ -38,6 +38,39 @@ def options_to_config(options, maxzoom_default: int = 14):
     cfg = TileConfig(maxzoom=maxzoom_default)
     explicit_basezoom = False
     toks = shlex.split(options) if isinstance(options, str) else list(options)
+    # getopt_long surface: --opt=value splits, and the long spellings of
+    # the single-letter value options (main.cpp:2495-2630) normalize to
+    # their short forms with the value attached (so --maximum-zoom=g
+    # becomes -zg etc.); --prevent/--additional take a letter string
+    value_alias = {
+        "--maximum-zoom": "-z", "--minimum-zoom": "-Z", "--base-zoom": "-B",
+        "--drop-rate": "-r", "--gamma": "-g", "--buffer": "-b",
+        "--full-detail": "-d", "--low-detail": "-D",
+        "--maximum-tile-bytes": "-M", "--maximum-tile-features": "-O",
+        "--cluster-distance": "-K", "--simplification": "-S",
+    }
+    norm = []
+    skip = False
+    for j, t in enumerate(toks):
+        if skip:
+            skip = False
+            continue
+        base, eq, val = t.partition("=") if t.startswith("--") else (t, "", "")
+        if base in ("--prevent", "--additional"):
+            letters = val if eq else toks[j + 1]
+            skip = not eq
+            norm.append(("-p" if base == "--prevent" else "-a") + letters)
+            continue
+        if base in value_alias:
+            v = val if eq else toks[j + 1]
+            skip = not eq
+            norm.append(value_alias[base] + v)
+            continue
+        if eq:
+            norm.extend([base, val])
+            continue
+        norm.append(t)
+    toks = norm
     i = 0
     long_flags = {
         "--drop-densest-as-needed": "drop_densest",
@@ -71,6 +104,15 @@ def options_to_config(options, maxzoom_default: int = 14):
         "--hilbert": "use_hilbert",
         "--use-source-polygon-winding": "use_source_polygon_winding",
         "--reverse-source-polygon-winding": "reverse_source_polygon_winding",
+        "--no-simplification-of-shared-nodes": "no_shared_nodes",
+        "--simplify-only-low-zooms": "no_simplification_low",
+        # accepted no-ops, mirroring the reference: P_POLYGON_SPLIT has
+        # no reader outside main.cpp (dead flag), prefer-radix-sort is a
+        # sort-strategy hint (Spark shuffles sort), check-polygons only
+        # prints stderr diagnostics (tile bytes unchanged)
+        "--no-polygon-splitting": None,
+        "--prefer-radix-sort": None,
+        "--check-polygons": None,
     }
     # single-letter -p / -a spellings (options.hpp P_* / A_* tables);
     # None = accepted no-op (engine-internal in the reference), absent
@@ -85,6 +127,8 @@ def options_to_config(options, maxzoom_default: int = 14):
         "W": "reverse_source_polygon_winding",
         "e": "empty_csv_columns_null",
         "g": "no_tilestats",
+        "n": "no_shared_nodes",
+        "p": None,  # P_POLYGON_SPLIT: dead flag in the reference
     }
     a_letters = {
         "c": "coalesce", "r": "reverse", "o": "reorder",
@@ -265,12 +309,30 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.no_tilestats = True
             i += 1
             continue
+        if t in ("--tile-stats-attributes-limit",
+                 "--tile-stats-sample-values-limit",
+                 "--tile-stats-values-limit"):
+            # the reference sets globals in mbtiles.cpp (main.cpp:2684-
+            # 2689); ours live in operators.stats and propagate to the
+            # Spark layermap collectors at plan build
+            from .operators import stats as _stats
+
+            n = int(toks[i + 1])
+            if t == "--tile-stats-attributes-limit":
+                _stats.MAX_TILESTATS_ATTRIBUTES = n
+            elif t == "--tile-stats-sample-values-limit":
+                _stats.MAX_TILESTATS_SAMPLE_VALUES = n
+            else:
+                _stats.MAX_TILESTATS_VALUES = n
+            i += 2
+            continue
         if t == "--force-feature-limit":  # long name of -pd
             cfg.drop_fraction = True
             i += 1
             continue
         if t in long_flags:
-            setattr(cfg, long_flags[t], True)
+            if long_flags[t] is not None:
+                setattr(cfg, long_flags[t], True)
             i += 1
             continue
         raise ValueError(f"unsupported option: {t}")
@@ -373,7 +435,17 @@ def _split_args(argv):
                               "--include", "--clip-bounding-box",
                               "--projection", "--prefilter", "--postfilter",
                               "--feature-filter", "--feature-filter-file",
-                              "--attribute-type")
+                              "--attribute-type",
+                              "--maximum-zoom", "--minimum-zoom",
+                              "--base-zoom", "--drop-rate", "--gamma",
+                              "--buffer", "--full-detail", "--low-detail",
+                              "--maximum-tile-bytes",
+                              "--maximum-tile-features",
+                              "--cluster-distance", "--simplification",
+                              "--prevent", "--additional",
+                              "--tile-stats-attributes-limit",
+                              "--tile-stats-sample-values-limit",
+                              "--tile-stats-values-limit")
             if takes_arg and t not in ("-X",) and i + 1 < len(argv):
                 rest.append(argv[i + 1])
                 i += 2

@@ -68,6 +68,7 @@ class TileConfig:
     no_tiny_polygon_reduction: bool = False  # -pt
     no_simplification: bool = False  # -ps
     no_simplification_low: bool = False  # -pS (actually: at maxzoom)
+    no_shared_nodes: bool = False    # -pn / --no-simplification-of-shared-nodes
     no_feature_limit: bool = False   # -pf
     no_tile_size_limit: bool = False  # -pk
     no_tile_compression: bool = False  # -pC

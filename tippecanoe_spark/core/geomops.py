@@ -657,12 +657,22 @@ def impose_tile_boundaries(op, x, y, necessary, extent):
     )
 
 
-def simplify_lines(op, x, y, z, detail, mark_tile_bounds, simplification, retain=2):
-    """geometry.cpp:805-857 (without shared-nodes option)."""
+def simplify_lines(op, x, y, z, detail, mark_tile_bounds, simplification, retain=2,
+                   shared_nodes=None):
+    """geometry.cpp:805-857.
+
+    ``shared_nodes``: set of (y, x) coordinate pairs (draw equality
+    compares (y, x) only, geometry.hpp:48) marked unremovable BEFORE
+    the tile-boundary pass — the -pn /
+    --no-simplification-of-shared-nodes feature (geometry.cpp:819-823)."""
     res = 1 << (32 - detail - z)
     area = 1 << (32 - z)
     n = len(op)
     necessary = op != OP_LINETO
+    if shared_nodes:
+        for i in range(n):
+            if (int(y[i]), int(x[i])) in shared_nodes:
+                necessary[i] = True
     if mark_tile_bounds:
         op, x, y, necessary = impose_tile_boundaries(op, x, y, necessary, area)
         n = len(op)

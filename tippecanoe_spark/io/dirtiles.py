@@ -83,6 +83,30 @@ def write_dirtiles_spark(tiles_df, outdir: str, force: bool = False,
     return n_acc.value, (midx, midy)
 
 
+def read_dirtiles_spark(spark, outdir: str):
+    """Distributed z/x/y.pbf scan: Spark's binaryFile source lists and
+    reads the tree in parallel, and the tile address is parsed from the
+    path — returns a (z, x, y, tile) DataFrame ready for
+    operators.tilejoin.tile_join / build pipelines, with no driver
+    materialization (the dirtiles counterpart of the reference's
+    dir_read, dirtiles.cpp:105-160)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pbf")
+          .option("recursiveFileLookup", "true")
+          .load(outdir))
+    parts = F.split(F.col("path"), "/")
+    n = F.size(parts)
+    return df.select(
+        F.element_at(parts, n - 2).cast("int").alias("z"),
+        F.element_at(parts, n - 1).cast("long").alias("x"),
+        F.regexp_replace(F.element_at(parts, n), "\\.pbf$", "")
+         .cast("long").alias("y"),
+        F.col("content").alias("tile"),
+    )
+
+
 def read_dirtiles(outdir: str) -> dict:
     """Sorted z/x/y walk (dirtiles.cpp:105-160)."""
     out = {}

@@ -88,11 +88,24 @@ def collect_layer_stats(features) -> dict:
 
 def collect_layer_stats_spark(features_df) -> dict:
     """Distributed layermap: per-partition LayerStats merged on the
-    driver (merge_layermaps, mbtiles.cpp:559-634)."""
+    driver (merge_layermaps, mbtiles.cpp:559-634).
+
+    The tilestats limits are captured HERE, driver-side, and re-applied
+    inside the workers — the executor's fresh module import would
+    otherwise silently use the defaults when the CLI's
+    --tile-stats-*-limit flags changed them."""
+    limits = (MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
+              MAX_TILESTATS_VALUES)
+
     def part(it):
         import pandas as pd
 
+        from ..operators import stats as _stats
         from ..pipeline import unpack_props
+
+        (_stats.MAX_TILESTATS_ATTRIBUTES,
+         _stats.MAX_TILESTATS_SAMPLE_VALUES,
+         _stats.MAX_TILESTATS_VALUES) = limits
 
         layers = {}
         for pdf in it:

@@ -489,6 +489,8 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
     density_previndex = 0
     spacing = 0.0  # persists across features (tile.cpp:1761)
     density_gap = 0.0
+    # -pn: every vertex of every partial-stage feature (tile.cpp:1971-1975)
+    shared_raw = [] if cfg.no_shared_nodes else None
     scale_z = float(1 << (64 - 2 * (z + 8)))  # drop_state.scale (main.cpp:1002)
 
     for (row, ops, xs, ys, t) in clipped:
@@ -618,6 +620,8 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
                 continue
 
         if len(ops) > 0:
+            if shared_raw is not None:
+                shared_raw.append((xs, ys))
             partials.append({
                 "geoms": [(ops, xs, ys)],
                 "layer": row["layer"],
@@ -657,6 +661,18 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
             p["full_keys"].append("sqrt_point_count")
             p["full_vtypes"].append(M.T_DOUBLE)
             p["full_values"].append(_cpp_to_string_double(round(100 * math.sqrt(p["clustered"] + 1)) / 100.0))
+
+    # -pn shared-node set: coordinates appearing >= 2 times across the
+    # collected vertices (just_shared_nodes, tile.cpp:2005-2022; draw
+    # equality is (y, x) only)
+    shared_set = None
+    if shared_raw:
+        ax = np.concatenate([p[0] for p in shared_raw]).astype(np.int64)
+        ay = np.concatenate([p[1] for p in shared_raw]).astype(np.int64)
+        order = np.lexsort((ax, ay))
+        sx, sy = ax[order], ay[order]
+        dup = (sy[1:] == sy[:-1]) & (sx[1:] == sx[:-1])
+        shared_set = set(zip(sy[:-1][dup].tolist(), sx[:-1][dup].tolist()))
 
     # shared-border arcs (-ab): decompose polygon rings into arcs,
     # simplify each arc once (tile.cpp:2091-2093)
@@ -699,6 +715,7 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
                     not (cfg.no_clipping or cfg.no_duplication),
                     cfg.simplification,
                     retain=4 if t == g.VT_POLYGON else 0,
+                    shared_nodes=shared_set,
                 )
                 if t != g.VT_POLYGON or len(nops) >= 3:
                     ops, xs, ys = nops, nxs, nys
@@ -757,10 +774,14 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
                 ops, xs, ys = c["out"]
                 if c.get("coalesced") and c["t"] == g.VT_LINE:
                     ops, xs, ys = g.remove_noop(ops, xs, ys, c["t"], 0)
+                    # the reference passes the same z32-scale shared set
+                    # here even though coords are tile-scaled by now
+                    # (tile.cpp:2220-2221) — mirror it
                     ops, xs, ys = g.simplify_lines(
                         ops, xs, ys, 32, 0,
                         not (cfg.no_clipping or cfg.no_duplication),
-                        cfg.simplification, retain=0)
+                        cfg.simplification, retain=0,
+                        shared_nodes=shared_set)
                 if c["t"] == g.VT_POLYGON:
                     if c.get("coalesced"):
                         ops, xs, ys = _clean_poly(ops, xs, ys)
