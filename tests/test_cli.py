@@ -435,6 +435,24 @@ def test_cli_tile_stats_limits_match_reference(tmp_path):
          stats_mod.MAX_TILESTATS_VALUES) = saved
 
 
+@requires_reference
+def test_cli_allow_existing_and_exists_guard(tmp_path):
+    """Without -f/-F an existing tileset refuses (mbtiles.cpp:48);
+    -F / --allow-existing writes into it (forcetable, main.cpp:2912)."""
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/onefeature/in.json"
+    out = tmp_path / "out.mbtiles"
+    assert main(["-q", "-z2", "--local-runner", "-o", str(out), src]) == 0
+    # exists, no -f/-F -> refuse
+    assert main(["-q", "-z2", "--local-runner", "-o", str(out), src]) == 1
+    # -F writes into the existing db (distinct zoom avoids tile clashes)
+    assert main(["-q", "-z3", "-Z3", "-F", "--local-runner",
+                 "-o", str(out), src]) == 0
+    zs = {z for (z, _x, _y) in _read(str(out))}
+    assert 2 in zs and 3 in zs
+
+
 def test_cli_errors():
     from tippecanoe_spark.cli import main
 

@@ -349,7 +349,8 @@ _ENGINE_WITH_ARG = {"-o", "--output", "-e", "--output-to-directory",
                     "-t", "--temporary-directory", "--spark-master"}
 _ENGINE_FLAGS = {"-f", "--force", "-q", "--quiet", "-P",
                  "--read-parallel", "--local-runner", "-Q",
-                 "--no-progress-indicator", "-u", "-U"}
+                 "--no-progress-indicator", "-u", "-U", "-F",
+                 "--allow-existing"}
 
 
 def _split_args(argv):
@@ -357,7 +358,7 @@ def _split_args(argv):
     eng = {"inputs": [], "force": False, "quiet": False, "local": False,
            "output": None, "outdir": None, "layer": None, "name": None,
            "description": None, "master": None, "attribution": None,
-           "named_layers": {}}
+           "named_layers": {}, "allow_existing": False}
     rest = []
     i = 0
     while i < len(argv):
@@ -410,6 +411,14 @@ def _split_args(argv):
         elif t in ("-f", "--force"):
             eng["force"] = True
             i += 1
+        elif t in ("-F", "--allow-existing"):
+            # forcetable (main.cpp:2912): tolerate existing output
+            # tables/directory and write into them
+            eng["allow_existing"] = True
+            i += 1
+        elif t in ("-H", "--help"):
+            print(__doc__, file=sys.stderr)
+            raise SystemExit(0)
         elif t in ("-q", "--quiet", "-Q", "--no-progress-indicator"):
             eng["quiet"] = True
             i += 1
@@ -495,6 +504,19 @@ def build_main(argv) -> int:
     if eng["output"] is None and eng["outdir"] is None:
         print("need -o out.mbtiles or -e out_dir", file=sys.stderr)
         return 2
+
+    # existing-tileset guard (mbtiles.cpp:48, dirtiles.cpp:75): without
+    # -f (delete first) or -F (write into the existing tables/dir),
+    # refuse rather than silently mix tilesets
+    if not eng["force"] and not eng["allow_existing"]:
+        exists = (eng["output"] and os.path.exists(eng["output"])) or \
+            (eng["outdir"] and os.path.isdir(eng["outdir"])
+             and os.listdir(eng["outdir"]))
+        if exists:
+            tgt = eng["output"] or eng["outdir"]
+            print(f'Tileset "{tgt}" already exists. You can use --force '
+                  "if you want to delete the old tileset.", file=sys.stderr)
+            return 1
 
     from .operators.stats import build_metadata
     from .pipeline import build_tiles_local
