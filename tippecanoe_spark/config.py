@@ -71,6 +71,14 @@ class TileConfig:
     no_shared_nodes: bool = False    # -pn / --no-simplification-of-shared-nodes
     no_feature_limit: bool = False   # -pf
     no_tile_size_limit: bool = False  # -pk
+    # -pd / --force-feature-limit (P_DYNAMIC_DROP, main.cpp:2560).
+    # Enables the per-tile fraction shrink in the retry ladder
+    # (tile.cpp:2396,2494) WITHOUT joining the 2-pass zoom-global
+    # discovery (tile.cpp:2780-2782 lists only additional[] flags) and
+    # WITHOUT exporting fraction_out (tile.cpp:2404-2410 ratchets only
+    # for A_DROP/COALESCE_FRACTION_AS_NEEDED); still_dropping is set
+    # unconditionally when the shrink fires (tile.cpp:2407-2408).
+    prevent_dynamic_drop: bool = False
     no_tile_compression: bool = False  # -pC
     no_input_order: bool = False     # -pi (preserve input order)
     use_source_polygon_winding: bool = False  # -pw

@@ -426,10 +426,18 @@ def _retry_step(cfg: TileConfig, actual, limit, totalsize, n_layers, gamma,
                     minextent_fraction, True)
         return (gamma, mingap, minextent, fraction, mingap_fraction,
                 minextent_fraction, False)
-    if totalsize > n_layers and (cfg.drop_fraction or cfg.coalesce_fraction):
+    if totalsize > n_layers and (cfg.prevent_dynamic_drop or cfg.drop_fraction
+                                 or cfg.coalesce_fraction):
         fraction = fraction * limit / actual * 0.95
-        if fraction < stats["fraction_out"]:
+        if (cfg.drop_fraction or cfg.coalesce_fraction) \
+                and fraction < stats["fraction_out"]:
+            # zoom-global ratchet exported only for the additional[]
+            # fraction modes (tile.cpp:2404-2406)
             stats["fraction_out"] = fraction
+            stats["still_dropping"] = True
+        elif cfg.prevent_dynamic_drop:
+            # P_DYNAMIC_DROP: fraction stays per-tile-local, but the
+            # zoom is still considered "still dropping" (tile.cpp:2407-2408)
             stats["still_dropping"] = True
         return (gamma, mingap, minextent, fraction, mingap_fraction,
                 minextent_fraction, True)
@@ -1286,6 +1294,13 @@ def prefilter_dropped_mask(pdf, z, cfg: TileConfig):
 # shrink_dropped_pdf (real tp_minzoom is -1 for unset, else >= 0)
 PACKET_TPMIN = -2
 
+# sentinel returned by encode_points_tile_fast when a tile limit fires
+# and the run must be redone through the exact retry ladder.  A class
+# (not an instance): classes pickle by reference, so `is` comparisons
+# survive cloudpickled closures shipped to Spark executors.
+class FAST_LIMIT_EXCEEDED:
+    pass
+
 
 def can_shrink_dropped(cfg: TileConfig) -> bool:
     """Whether the as-needed/accumulate map-side shrink applies — the
@@ -1551,5 +1566,15 @@ def encode_points_tile_fast(run, z, tx, ty, cfg: TileConfig):
     tile = M.MvtTile(layers=[layers[nm] for nm in sorted(layers) if layers[nm].features])
     if not tile.layers:
         return None
+    # the fast path is exact only while neither tile limit fires — the
+    # retry ladder (detail reduction, -pd/-O/-M fraction shrink,
+    # tile.cpp:2332-2511) has no fast equivalent.  Signal the caller to
+    # redo this run through process_tile.
+    nfeat = sum(len(ly.features) for ly in tile.layers)
+    if nfeat > cfg.max_tile_features and not cfg.no_feature_limit:
+        return FAST_LIMIT_EXCEEDED
     raw = M.encode_tile(tile)
-    return raw if cfg.no_tile_compression else M.gzip_tile(raw)
+    out = raw if cfg.no_tile_compression else M.gzip_tile(raw)
+    if len(out) > cfg.max_tile_size and not cfg.no_tile_size_limit:
+        return FAST_LIMIT_EXCEEDED
+    return out

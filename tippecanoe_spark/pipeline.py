@@ -276,7 +276,8 @@ def _encode_sorted_frame(pdf: pd.DataFrame, cfg: TileConfig, prefilter: bool,
     streaming encoder's in-batch path).  One prefilter pass per z slice,
     one dict conversion for all slow rows, columnar fast path for
     all-point runs.  Returns (z, x, y, tile) records."""
-    from .operators.tiler import encode_points_tile_fast, prefilter_dropped_mask
+    from .operators.tiler import (FAST_LIMIT_EXCEEDED, encode_points_tile_fast,
+                                  prefilter_dropped_mask)
 
     if prefilter and len(pdf):
         keep = np.ones(len(pdf), dtype=bool)
@@ -334,6 +335,15 @@ def _encode_sorted_frame(pdf: pd.DataFrame, cfg: TileConfig, prefilter: bool,
         if fast_runs[ri]:
             run = {k: v[st: st + cnt] for k, v in cols.items()}
             tb = encode_points_tile_fast(run, z, tx, ty, cfg)
+            if tb is FAST_LIMIT_EXCEEDED:
+                # a tile limit fired: redo through the exact retry
+                # ladder (detail reduction / fraction shrink)
+                tb, _children, stats = process_tile(
+                    _pdf_rows_to_dicts(pdf.iloc[st: st + cnt]), z, tx, ty,
+                    cfg, pass_params=dict(pass_params) if pass_params else None,
+                    emit_children=False)
+                if still_flag is not None and stats["still_dropping"]:
+                    still_flag.append(True)
             if tb is not None:
                 recs.append((z, tx, ty, tb))
         else:
@@ -566,7 +576,7 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
     side accumulation is safe here."""
     import os as _os
 
-    from .operators.tiler import (encode_points_tile_fast,
+    from .operators.tiler import (FAST_LIMIT_EXCEEDED, encode_points_tile_fast,
                                   prefilter_dropped_mask, process_tile)
 
     # read DRIVER-side at plan-build time (the worker daemon's env is
@@ -594,7 +604,9 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
                            for k in ("t", "fmz", "tp_minzoom", "xs", "ys",
                                      "props", "layer", "has_id", "id")}
                     tb = encode_points_tile_fast(run, z, tx, ty, cfg)
-                    return (z, tx, ty, tb) if tb is not None else None
+                    if tb is not FAST_LIMIT_EXCEEDED:
+                        return (z, tx, ty, tb) if tb is not None else None
+                    # a tile limit fired: fall through to the ladder
                 tb, _c, st = process_tile(
                     _pdf_rows_to_dicts(pdf), z, tx, ty, cfg,
                     pass_params=pp, emit_children=False)
@@ -938,7 +950,7 @@ def build_tiles(spark, features_df, cfg: TileConfig, minzoom_mode: str = "exact"
         # order-free)
         df = df.repartition(par * 2)
 
-    if cfg.extend_zooms and cfg.any_as_needed:
+    if cfg.extend_zooms and (cfg.any_as_needed or cfg.prevent_dynamic_drop):
         # --extend-zooms-if-still-dropping: maxzoom can grow while
         # building, so the cascade cannot be planned ahead — run the
         # zoom BFS driver-side, one level at a time (mirrors the local
@@ -996,15 +1008,19 @@ def _build_tiles_extend_spark(spark, df, cfg_in: TileConfig, par: int):
             # one sort shuffle shared by both passes
             sub = sub.localCheckpoint(eager=False)
             params = _zoom_params_init(z, zoom_cfg)
-            srows = sub.mapInPandas(
-                _make_stream_pass0(zoom_cfg, params),
-                schema=_PASS0_SCHEMA_DDL).collect()
-            for r in srows:
-                _merge_zoom_stats(params, {
-                    "gamma_out": r["gamma_out"], "mingap_out": int(r["mingap"]),
-                    "minextent_out": r["minextent"],
-                    "fraction_out": r["fraction"]})
-                still = still or bool(r["still_dropping"])
+            if zoom_cfg.any_as_needed:
+                # pass-0 discovery runs only for the additional[]
+                # as-needed flags (tile.cpp:2780-2782); P_DYNAMIC_DROP
+                # stays single-pass with a tile-local fraction
+                srows = sub.mapInPandas(
+                    _make_stream_pass0(zoom_cfg, params),
+                    schema=_PASS0_SCHEMA_DDL).collect()
+                for r in srows:
+                    _merge_zoom_stats(params, {
+                        "gamma_out": r["gamma_out"], "mingap_out": int(r["mingap"]),
+                        "minextent_out": r["minextent"],
+                        "fraction_out": r["fraction"]})
+                    still = still or bool(r["still_dropping"])
             acc = spark.sparkContext.accumulator(0)
             tiles_z = sub.mapInPandas(
                 _make_stream_encoder(zoom_cfg, False,
