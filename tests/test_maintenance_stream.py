@@ -228,6 +228,72 @@ def test_spark_maintainer_in_order_appends_touch_few_tiles(spark, tmp_path):
     assert m.tiles() == want
 
 
+def test_spark_maintainer_incremental_commit(spark, tmp_path):
+    """The per-batch tileset commit is O(affected), not O(tileset):
+    after a small in-order append, partition dirs holding no affected
+    tile are untouched on disk (same files, same mtimes), and the bytes
+    written are a small fraction of the store."""
+    import json
+    import os
+    import random
+
+    from tippecanoe_spark.io.geojson import feature_records
+    from tippecanoe_spark.streaming.maintenance import SparkTileMaintainer
+
+    rng = random.Random(7)
+    cfg = TileConfig(maxzoom=6)
+
+    def mk(lon, lat, i):
+        return json.dumps({
+            "type": "Feature", "properties": {"i": i},
+            "geometry": {"type": "Point",
+                         "coordinates": [round(lon, 6), round(lat, 6)]}})
+
+    world = [mk(rng.uniform(-170, 150), rng.uniform(-60, 70), i)
+             for i in range(400)]
+    corner = [mk(rng.uniform(170, 175), rng.uniform(-80, -75), 400 + i)
+              for i in range(10)]
+    feats = feature_records("\n".join(world + corner), "pts", cfg)
+
+    m = SparkTileMaintainer(spark, cfg, str(tmp_path / "store"))
+    m.apply_batch(_batch_df(spark, feats[:400]))
+
+    tiles_dir = os.path.join(str(tmp_path / "store"), "tiles")
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(tiles_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot()
+    total_bytes = sum(sz for (_mt, sz) in before.values())
+    affected = m.apply_batch(_batch_df(spark, feats[400:]))
+    after = snapshot()
+
+    aff_buckets = {m._bucket(z, x, y) for (z, x, y) in affected}
+    changed = {p for p in (set(before) | set(after))
+               if before.get(p) != after.get(p)}
+    # every changed file lives in an affected bucket dir
+    for p in changed:
+        parts = p.split(os.sep)
+        pz = int([s for s in parts if s.startswith("pz=")][0][3:])
+        pxy = int([s for s in parts if s.startswith("pxy=")][0][4:])
+        assert (pz, pxy) in aff_buckets, p
+    # untouched buckets exist and were not rewritten
+    untouched = set(before) - changed
+    assert untouched, "expected some unaffected partition files"
+    written = sum(after[p][1] for p in changed if p in after)
+    assert written < total_bytes // 2, (written, total_bytes)
+    # and the result is still exactly the batch build
+    want = build_tiles_local([dict(f) for f in feats], cfg)
+    assert m.tiles() == want
+
+
 def test_spark_foreach_batch_sink_structured_streaming(spark, tmp_path):
     """End-to-end Structured Streaming through the DISTRIBUTED sink:
     micro-batches land in the parquet store without driver collection;

@@ -65,9 +65,14 @@ def _cover_tiles(mnx, mny, mxx, mxy, cfg: TileConfig) -> set:
         for z in range(cfg.minzoom, cfg.maxzoom + 1):
             size = 1 << (32 - z)
             margin = size * cfg.buffer // 256
-            tx0 = max(0, bx0 - margin) >> (32 - z)
+            # clip_point is boundary-INCLUSIVE on both ends
+            # (geometry.cpp:597-617): a coordinate exactly margin past a
+            # tile edge still lands in that tile, so the lower tile
+            # index must step back one tile when (coord - margin) sits
+            # exactly on a tile boundary — hence the (q - 1) >> s form.
+            tx0 = (bx0 - margin - 1) >> (32 - z) if bx0 - margin > 0 else 0
             tx1 = min(W - 1, bx1 + margin) >> (32 - z)
-            ty0 = max(0, mny - margin) >> (32 - z)
+            ty0 = (mny - margin - 1) >> (32 - z) if mny - margin > 0 else 0
             ty1 = min(W - 1, mxy + margin) >> (32 - z)
             for tx in range(tx0, tx1 + 1):
                 for ty in range(ty0, ty1 + 1):
@@ -208,7 +213,10 @@ class SparkTileMaintainer:
       features/   append-only store (cascade schema, pipeline.
                   FEATURE_SCHEMA_DDL)
       fmz_v{N}/   (ix, seq, fmz) snapshot after batch N
-      tiles_v{N}/ the maintained tileset after batch N
+      tiles/      the maintained tileset, ONE parquet dir partitioned
+                  by (pz, pxy) — pz = zoom, pxy = the tile's top-level
+                  quadrant bucket (x >> (z-B), y >> (z-B) packed; ≤
+                  4^B buckets per zoom, B = TILE_BUCKET_BITS)
 
     Per batch: append → assign_minzoom_spark over the full store (fmz
     is a global-rank function, main.cpp:269-294) → anti/diff join on
@@ -216,10 +224,27 @@ class SparkTileMaintainer:
     shifted features → their buffered tile covers (date-line wraps
     included) form the affected set → ONE restricted cascade+encode
     (pipeline.build_tiles(only_tiles=affected)) rebuilds exactly those
-    tiles → the new tileset is (old tiles ∖ affected) ∪ rebuilt,
-    written as the next version.  Byte-equal to the batch build by the
-    same argument as TileMaintainer (progressive ancestor clipping
+    tiles.
+
+    The commit is INCREMENTAL (r5): only the partitions containing
+    affected tiles are rewritten.  Kept tiles of those partitions are
+    read back with a (pz, pxy) IN filter — partition-pruned to the
+    affected buckets — anti-joined against the affected coords, unioned
+    with the rebuilt tiles, and written with dynamic partition
+    overwrite (write option ``partitionOverwriteMode=dynamic``).  Bytes
+    read and written per batch are O(affected buckets), not
+    O(tileset); a spatially-local batch touches a handful of quadrant
+    buckets.  Affected buckets whose content becomes empty can't be
+    expressed by a zero-row dynamic overwrite, so their partition dirs
+    are unlinked driver-side.  (Production note: an Iceberg/Delta
+    ``MERGE INTO`` gives the same write shape with snapshot-atomic
+    commits; plain parquet partition overwrite is per-partition staged
+    but not cross-partition atomic.)  Byte-equal to the batch build by
+    the same argument as TileMaintainer (progressive ancestor clipping
     happens inside the cascade)."""
+
+    #: bits per axis for the quadrant bucket (4 → ≤256 buckets/zoom)
+    TILE_BUCKET_BITS = 4
 
     def __init__(self, spark, cfg: TileConfig, store_dir: str):
         _check_maintainable(cfg)
@@ -296,47 +321,83 @@ class SparkTileMaintainer:
         new_fmz_dir = self._path(f"fmz_v{self.version + 1}")
         withf.select("ix", "seq", "fmz").write.parquet(new_fmz_dir)
 
-        tiles_dir = self._path(f"tiles_v{self.version}")
-        new_tiles_dir = self._path(f"tiles_v{self.version + 1}")
+        tiles_dir = self._path("tiles")
         if affected:
             aff = spark.createDataFrame(
                 sorted(affected), schema="z int, x long, y long")
             rebuilt = build_tiles(spark, withf, cfg, skip_minzoom=True,
                                   only_tiles=aff)
-        else:
-            rebuilt = None
-        if os.path.exists(tiles_dir):
-            kept = spark.read.parquet(tiles_dir)
-            if affected:
-                aff2 = spark.createDataFrame(
-                    sorted(affected), schema="z int, x long, y long")
-                kept = kept.join(F.broadcast(aff2), ["z", "x", "y"],
-                                 "left_anti")
-            out = kept.unionByName(rebuilt) if rebuilt is not None else kept
-        else:
-            out = rebuilt
-        if out is None:
-            os.makedirs(new_tiles_dir, exist_ok=True)
-        else:
-            out.write.parquet(new_tiles_dir)
+            # incremental commit: rewrite ONLY the partitions that hold
+            # affected tiles.  aff_buckets is O(affected) driver-side.
+            aff_buckets = sorted({self._bucket(z, x, y)
+                                  for (z, x, y) in affected})
+            out = self._with_buckets(rebuilt)
+            have_store = os.path.exists(tiles_dir)
+            if have_store:
+                # plain (pz = a AND pxy = b) disjunction over the
+                # partition columns — prunable by the parquet source
+                from functools import reduce
+
+                in_aff = reduce(lambda a, b: a | b,
+                                [(F.col("pz") == pz) & (F.col("pxy") == pxy)
+                                 for (pz, pxy) in aff_buckets])
+                # (pz, pxy) are partition columns: this scan is pruned
+                # to the affected bucket dirs only
+                kept = (spark.read.parquet(tiles_dir).filter(in_aff)
+                        .join(F.broadcast(aff), ["z", "x", "y"],
+                              "left_anti"))
+                out = out.unionByName(kept.select(*out.columns))
+            (out.repartition("pz", "pxy")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pz", "pxy")
+                .parquet(tiles_dir))
+            # a bucket whose every tile vanished writes zero rows, which
+            # dynamic overwrite can't express — unlink those dirs
+            if have_store:
+                nonempty = {(r["pz"], r["pxy"]) for r in
+                            (spark.read.parquet(tiles_dir)
+                             .filter(in_aff)
+                             .select("pz", "pxy").distinct().collect())}
+                for (pz, pxy) in aff_buckets:
+                    if (pz, pxy) not in nonempty:
+                        d = os.path.join(tiles_dir, f"pz={pz}", f"pxy={pxy}")
+                        if os.path.exists(d):
+                            shutil.rmtree(d)
 
         self.version += 1
-        for stale in (prev_dir, tiles_dir):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        if os.path.exists(prev_dir):
+            shutil.rmtree(prev_dir)
         return affected
+
+    def _bucket(self, z: int, x: int, y: int) -> tuple:
+        """(pz, pxy) partition values for a tile (driver-side twin of
+        _with_buckets)."""
+        b = self.TILE_BUCKET_BITS
+        s = max(0, z - b)
+        return z, ((x >> s) << b) | (y >> s)
+
+    def _with_buckets(self, df):
+        from pyspark.sql import functions as F
+
+        b = self.TILE_BUCKET_BITS
+        return df.withColumn("pz", F.col("z")).withColumn(
+            "pxy", F.expr(
+                f"int(shiftleft(shiftright(x, greatest(z - {b}, 0)), {b})"
+                f" | shiftright(y, greatest(z - {b}, 0)))"))
 
     def tiles(self) -> dict:
         """Materialize the current tileset as {(z, x, y): bytes} (test/
         export convenience; the state itself stays in parquet)."""
         import os
 
-        d = self._path(f"tiles_v{self.version}")
+        d = self._path("tiles")
         if not os.path.exists(d) or not any(
-                f.endswith(".parquet") for f in os.listdir(d)):
+                f.startswith("pz=") for f in os.listdir(d)):
             return {}
         return {(r["z"], r["x"], r["y"]): bytes(r["tile"])
-                for r in self.spark.read.parquet(d).collect()}
+                for r in self.spark.read.parquet(d)
+                .select("z", "x", "y", "tile").collect()}
 
 
 def spark_foreach_batch_sink(maintainer: SparkTileMaintainer):
