@@ -400,6 +400,77 @@ def test_cli_build_spark_dirtiles_matches_reference(tmp_path):
         assert our_meta[k] == ref_meta[k], (k, ref_meta[k], our_meta[k])
 
 
+def test_dirtiles_spark_write_task_retry_idempotent(tmp_path):
+    """A task that dies after writing part of its partition must
+    succeed on retry over its own partial output (temp + os.replace;
+    the exists/force policy runs once on the driver).  Uses a dedicated
+    local[2,2] session so Spark actually re-attempts the failed task."""
+    from pyspark.sql import SparkSession
+
+    from tippecanoe_spark.io.dirtiles import read_dirtiles, write_dirtiles_spark
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        existing.stop()  # getOrCreate would reuse it (wrong master = no retries)
+    spark = (SparkSession.builder.master("local[2,2]")
+             .appName("dirtiles-retry")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    assert spark.sparkContext.master == "local[2,2]"
+    try:
+        want = {(3, x, 1): bytes([x]) * 10 for x in range(6)}
+
+        def gen(_it):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = pd.DataFrame(
+                {"z": [3] * 6, "x": list(range(6)), "y": [1] * 6,
+                 "tile": [bytes([x]) * 10 for x in range(6)]})
+            yield rows.iloc[:3]  # partial output lands on disk...
+            if TaskContext.get().attemptNumber() == 0:
+                raise RuntimeError("injected task failure")
+            yield rows.iloc[3:]
+
+        tiles_df = (spark.range(1).repartition(1).mapInPandas(
+            gen, schema="z int, x long, y long, tile binary"))
+        out = tmp_path / "out"
+        n, _busiest = write_dirtiles_spark(tiles_df, str(out), force=False)
+        assert n == 6
+        assert read_dirtiles(str(out)) == want
+        leftovers = [p for root, _d, files in os.walk(out)
+                     for p in files if ".tmp." in p]
+        assert not leftovers, leftovers
+    finally:
+        spark.stop()
+
+
+@requires_reference
+def test_cli_force_clears_stale_dirtiles(tmp_path):
+    """-f -e re-export with a smaller maxzoom must remove the old
+    build's deep-zoom tiles (check_dir semantics, dirtiles.cpp:66-105),
+    on both the local and the Spark CLI paths — byte-identical to the
+    reference doing the same re-export."""
+    from tippecanoe_spark.cli import main
+    from tippecanoe_spark.io.dirtiles import read_dirtiles
+
+    src = f"{REF_TESTS}/muni/muni.json"
+    ref_out = tmp_path / "ref_dir"
+    for opts in (["-q", "-f", "-z4"], ["-q", "-f", "-z2"]):
+        subprocess.run([REFBIN, *opts, "-e", str(ref_out), src],
+                       check=True, capture_output=True)
+    want = read_dirtiles(str(ref_out))
+    assert not any(z > 2 for (z, _x, _y) in want)
+
+    for extra in ([], ["--spark-master", "local[4]"]):
+        our_out = tmp_path / f"our_dir{len(extra)}"
+        assert main(["-q", "-f", "-z4", *extra, "-e", str(our_out), src]) == 0
+        assert any(z > 2 for (z, _x, _y) in read_dirtiles(str(our_out)))
+        assert main(["-q", "-f", "-z2", *extra, "-e", str(our_out), src]) == 0
+        assert read_dirtiles(str(our_out)) == want, extra
+
+
 @requires_reference
 def test_cli_tile_stats_limits_match_reference(tmp_path):
     """--tile-stats-values-limit / --tile-stats-sample-values-limit

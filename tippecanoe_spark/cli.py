@@ -620,7 +620,8 @@ def build_main(argv) -> int:
 
                 n_tiles, busiest = write_dirtiles_spark(
                     tiles_df, eng["outdir"], force=eng["force"],
-                    maxzoom=cfg.maxzoom)
+                    maxzoom=cfg.maxzoom,
+                    forcetable=eng["allow_existing"])
         finally:
             df.unpersist()
         meta = build_metadata([], {}, cfg, name=name,
@@ -650,8 +651,13 @@ def build_main(argv) -> int:
             os.remove(eng["output"])
         write_mbtiles(eng["output"], tiles, meta)
     else:
-        from .io.dirtiles import write_dirtiles
+        from .io.dirtiles import check_dir, write_dirtiles
 
+        # --force clears stale tiles of the previous build first
+        # (check_dir, dirtiles.cpp:66-105); -F writes into the
+        # existing tileset untouched
+        check_dir(eng["outdir"], force=eng["force"],
+                  forcetable=eng["allow_existing"])
         write_dirtiles(eng["outdir"], tiles, meta, force=eng["force"])
     if not eng["quiet"]:
         print(f"{len(tiles)} tiles -> {eng['output'] or eng['outdir']}",
