@@ -747,18 +747,22 @@ def q_multimodal_features(spark, sf_dir):
     feats = image_features(spark, media)
     got = feats.toPandas().sort_values("media_id").reset_index(drop=True)
 
-    # local reference computation with the same kernels
-    from tippecanoe_spark.io.multimodal import fake_decode_image
+    # local reference computation with the same kernels (decode_image
+    # is the REAL pure-stdlib PNG decoder for the PNG payloads
+    # synth_media_pdf now emits)
+    from tippecanoe_spark.io.multimodal import decode_image
 
     local = synth_media_pdf(n, seed=7)
     rows = []
     for r in local[local["kind"] == "image"].itertuples(index=False):
         import numpy as np
 
-        img = fake_decode_image(bytes(r.payload), r.width, r.height)
+        img = decode_image(bytes(r.payload), r.width, r.height)
+        if img.ndim == 3:
+            img = img.astype(np.float64).mean(axis=2)
         rows.append({"media_id": r.media_id, "mean": float(img.mean()),
                      "std": float(img.std()),
-                     "edges": int(np.abs(np.diff(img.astype(np.int16), axis=1)).sum())})
+                     "edges": int(np.abs(np.diff(img.astype(np.float64), axis=1)).sum())})
     want = pd.DataFrame(rows).sort_values("media_id").reset_index(drop=True)
     if not got.equals(want):
         raise AssertionError("multimodal self-check failed: distributed "
