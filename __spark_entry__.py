@@ -101,6 +101,65 @@ def q_hex_density(spark, sf_dir):
     return hex_density(_events_xy(spark, sf_dir), res=8)
 
 
+def _h3_synth_sql(h64: str, div: str) -> str:
+    """A VALID standard-bit-layout H3 cell id (mode 1, res 9, non-
+    pentagon base cell, aperture-7 digits 1..9 from the base-7
+    expansion of a 60-bit hash, digits 10..15 = 7) as one integer
+    expression; `div` is the engine's integer-division spelling.
+    Fields are bit-disjoint so plain + assembles them."""
+    from tippecanoe_spark.operators.cellindex import H3_PENTAGONS
+
+    bc_raw = f"({h64} % 122)"
+    pent = " OR ".join(f"{bc_raw} = {p}" for p in H3_PENTAGONS)
+    bc = f"(CASE WHEN {pent} THEN {bc_raw} + 1 ELSE {bc_raw} END)"
+    digits = " + ".join(
+        f"((({h64} {div} {7 ** (i - 1)}) % 7) * {1 << (3 * (15 - i))})"
+        for i in range(1, 10))
+    return (f"cast({1 << 59} + {9 << 52} + {bc} * {1 << 45} + {digits} "
+            f"+ {(1 << 18) - 1} AS BIGINT)")
+
+
+def _h3_oracle_sql() -> str:
+    """DuckDB twin of q_h3_parent_rollup — the SAME bit-math expression
+    strings from operators/cellindex.py (engine-neutral SQL), with
+    DuckDB's hex-parse and // integer-division spellings."""
+    from tippecanoe_spark.operators.cellindex import (h3_is_valid_sql,
+                                                      h3_resolution_sql,
+                                                      h3_to_parent_sql)
+
+    h64 = ("(('0x' || substring(md5(cast(event_id AS varchar)), 1, 15))"
+           "::BIGINT)")
+    synth = _h3_synth_sql(h64, "//")
+    return ("WITH keyed AS (SELECT " + synth + " AS h3 FROM events), "
+            "valid AS (SELECT h3 FROM keyed WHERE " + h3_is_valid_sql("h3")
+            + " AND " + h3_resolution_sql("h3") + " = 9) "
+            "SELECT " + h3_to_parent_sql("h3", 3)
+            + " AS h3_parent, count(*) AS cnt FROM valid GROUP BY 1")
+
+
+def q_h3_parent_rollup(spark, sf_dir):
+    """H3 interop (r5): events keyed by EXTERNAL H3 cell ids — here
+    synthesized deterministically in the standard 64-bit H3 bit layout,
+    standing in for ids computed upstream by the real H3 library — are
+    checked with the exact h3IsValid bit rules and rolled up to their
+    res-3 parents (h3ToParent is pure bit math; operators/cellindex.py).
+    The geographic lat/lng->H3 projection stays honestly out of scope;
+    this is the join/rollup path for external H3-keyed datasets.  One
+    narrow bit-math projection + one hash aggregation."""
+    from tippecanoe_spark.operators.cellindex import (h3_is_valid_sql,
+                                                      h3_parent_rollup,
+                                                      h3_resolution_sql)
+
+    ev = _load(spark, sf_dir, "events")
+    h64 = ("cast(conv(substring(md5(cast(event_id AS string)), 1, 15), "
+           "16, 10) AS BIGINT)")
+    keyed = ev.selectExpr(f"{_h3_synth_sql(h64, 'DIV')} AS h3")
+    valid = keyed.filter(h3_is_valid_sql("h3")) \
+                 .filter(f"{h3_resolution_sql('h3')} = 9")
+    return (h3_parent_rollup(valid, "h3", 3)
+            .selectExpr("parent AS h3_parent", "cnt"))
+
+
 def _qk_expr(x: str, y: str) -> str:
     """62-bit interleave of 31-bit halves (projection.cpp:157-170 layout,
     top bit dropped to stay in signed-bigint range for both engines)."""
@@ -397,33 +456,41 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """exact word-bigram Jaccard via inverted-index join (pairs are only
-    generated for docs sharing a shingle, not all-pairs); doc_id < 200 /
-    threshold 0.1 chosen so the sf0.01 corpus yields real pairs (23) —
-    integer set counting, exact in both engines."""
-    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200")
+    """Exact word-TRIGRAM Jaccard over the FULL corpus (r5: the
+    doc_id < 200 cap is gone), scale-shaped like dedup_near_verified:
+    candidate pairs come from a MinHash (band, min-hash) equi-join —
+    never all-pairs, never an uncapped inverted-index join whose hot
+    shingles explode — and the exact set intersection touches only
+    those pairs.  The trigram shingle length distinguishes it from the
+    bigram dedup pipeline; threshold 0.05."""
+    docs = _load(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
         "doc_id",
-        "explode(array_distinct(transform(sequence(0, size(w) - 2), "
-        "i -> concat(w[i], ' ', w[i + 1])))) AS shingle",
+        "explode(array_distinct(transform(sequence(0, size(w) - 3), "
+        "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])))) AS shingle",
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"t{b}:"), F.col("shingle")))).alias(f"mh{b}")
+          for b in range(4)],
+        F.count("*").alias("sz"),
+    )
+    cand = None
+    for b in range(4):
+        a = mh.selectExpr("doc_id AS d1", f"mh{b} AS band_val", "sz AS sz1")
+        c = mh.selectExpr("doc_id AS d2", f"mh{b} AS band_val", "sz AS sz2")
+        pairs = a.join(c, "band_val").filter("d1 < d2") \
+                 .select("d1", "d2", "sz1", "sz2")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
+        cand.join(sh.selectExpr("doc_id AS d1", "shingle"), "d1")
+        .join(sh.selectExpr("doc_id AS d2", "shingle"), ["d2", "shingle"])
+        .groupBy("d1", "d2", "sz1", "sz2").agg(F.count("*").alias("inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
-        .selectExpr("d1", "d2", "inter",
-                    "round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard")
-        .filter("jaccard >= 0.1")
-    )
-    return out
+    return inter.selectExpr(
+        "d1", "d2", "inter",
+        "round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard"
+    ).filter("jaccard >= 0.05")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -788,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_z10": q_tile_assign_z10,
         "quadkey": q_quadkey,
         "hex_density": q_hex_density,
+        "h3_parent_rollup": q_h3_parent_rollup,
         "feature_minzoom": q_feature_minzoom,
         "zoom_rollup": q_zoom_rollup,
         "bbox": q_bbox,
@@ -882,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey": xy + f" SELECT event_id, {_QK_DUCK} AS qk62 FROM exy ORDER BY event_id",
         "hex_density": xy + f" SELECT {_HEXQ_DUCK} AS hq, {_HEXR_DUCK} AS hr, "
         "count(*) AS cnt FROM exy GROUP BY 1, 2",
+        "h3_parent_rollup": _h3_oracle_sql(),
         "feature_minzoom": xy + f", r AS (SELECT event_id, "
         f"row_number() OVER (ORDER BY {_QK_DUCK}, event_id) AS rank FROM exy) "
         f"SELECT {mz} AS minzoom, count(*) AS n FROM r GROUP BY 1",
@@ -976,16 +1045,23 @@ def oracle_sql() -> dict[str, str]:
                      for b in range(60))
         + " AS BIGINT) AS simhash FROM agg",
         "ngram_jaccard": "WITH sh AS (SELECT DISTINCT doc_id, "
-        "w[i] || ' ' || w[i+1] AS shingle FROM (SELECT doc_id, "
-        "string_split(text, ' ') AS w FROM documents WHERE doc_id < 200), "
-        "LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)), "
-        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter "
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-        "GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1) "
-        "SELECT d1, d2, inter, round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) "
-        "AS jaccard FROM inter JOIN sizes s1 ON s1.doc_id = d1 "
-        "JOIN sizes s2 ON s2.doc_id = d2 "
-        "WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) >= 0.1",
+        "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM (SELECT doc_id, "
+        "string_split(text, ' ') AS w FROM documents), "
+        "LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)), "
+        "mh AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('t{b}:' || shingle)) AS mh{b}" for b in range(4))
+        + ", count(*) AS sz FROM sh GROUP BY 1), "
+        "cand AS ("
+        + " UNION ".join(
+            f"SELECT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1, b.sz AS sz2 "
+            f"FROM mh a JOIN mh b ON a.mh{b} = b.mh{b} AND a.doc_id < b.doc_id"
+            for b in range(4))
+        + "), inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter FROM cand "
+        "JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2 "
+        "AND s1.shingle = s2.shingle GROUP BY 1, 2, 3, 4) "
+        "SELECT d1, d2, inter, round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) "
+        "AS jaccard FROM inter "
+        "WHERE round(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) >= 0.05",
         "ann_cosine_topk": "WITH q AS (SELECT vec_id AS qid, "
         "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe "
         "FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, "

@@ -82,3 +82,68 @@ def test_hex_spark_expr_matches_numpy(spark):
                         got["y32"].to_numpy() >> COARSE_SHIFT, 8)
     assert (got["hq"].to_numpy() == eq).all()
     assert (got["hr"].to_numpy() == er).all()
+
+
+def test_h3_codec_bit_layout():
+    """The H3 index codec against public H3 knowledge: res-0 cell ids
+    are (1<<59) | (basecell<<45) | all-7 digits, printing as
+    8001fffffffffff, 8003fffffffffff, ... (the well-known
+    get_res0_indexes sequence); parent rollup zeroes out finer digits;
+    validity rejects bad mode/base-cell/digit patterns.  Evaluated
+    through DuckDB so the SQL strings themselves are what's tested."""
+    import duckdb
+
+    from tippecanoe_spark.operators.cellindex import (
+        H3_PENTAGONS,
+        h3_is_valid_sql,
+        h3_resolution_sql,
+        h3_to_parent_sql,
+    )
+
+    con = duckdb.connect()
+
+    def ev(expr, h):
+        return con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({h} AS BIGINT) AS h)"
+        ).fetchone()[0]
+
+    res0_bc0 = (1 << 59) | ((1 << 45) - 1)
+    assert format(res0_bc0, "x") == "8001fffffffffff"
+    res0_bc1 = res0_bc0 + (1 << 45)
+    assert format(res0_bc1, "x") == "8003fffffffffff"
+    for h in (res0_bc0, res0_bc1):
+        assert ev(h3_is_valid_sql("h"), h)
+        assert ev(h3_resolution_sql("h"), h) == 0
+
+    # a res-2 cell in base cell 10: digits 3 then 5, rest 7
+    h2 = (1 << 59) | (2 << 52) | (10 << 45) \
+        | (3 << (3 * 14)) | (5 << (3 * 13)) | ((1 << (3 * 13)) - 1)
+    assert ev(h3_is_valid_sql("h"), h2)
+    assert ev(h3_resolution_sql("h"), h2) == 2
+    # parent at res 1: digit 2 refilled with 7, res field 1
+    p1 = ev(h3_to_parent_sql("h", 1), h2)
+    assert ev(h3_resolution_sql("h"), p1) == 1
+    assert p1 == (1 << 59) | (1 << 52) | (10 << 45) \
+        | (3 << (3 * 14)) | ((1 << (3 * 14)) - 1)
+    # parent at res 0 is the base cell's res-0 id
+    assert ev(h3_to_parent_sql("h", 0), h2) == \
+        (1 << 59) | (10 << 45) | ((1 << 45) - 1)
+
+    # invalids: wrong mode, base cell >= 122, digit 7 above res,
+    # unused digit not 7, pentagon leading digit 1
+    bad_mode = h2 & ~(15 << 59) | (2 << 59)
+    assert not ev(h3_is_valid_sql("h"), bad_mode)
+    bad_bc = (1 << 59) | (122 << 45) | ((1 << 45) - 1)
+    assert not ev(h3_is_valid_sql("h"), bad_bc)
+    bad_digit7 = (1 << 59) | (1 << 52) | (10 << 45) \
+        | (7 << (3 * 14)) | ((1 << (3 * 14)) - 1)
+    assert not ev(h3_is_valid_sql("h"), bad_digit7)
+    bad_unused = h2 ^ 1  # lowest unused digit 7 -> 6
+    assert not ev(h3_is_valid_sql("h"), bad_unused)
+    pent = H3_PENTAGONS[0]
+    bad_pent = (1 << 59) | (2 << 52) | (pent << 45) \
+        | (0 << (3 * 14)) | (1 << (3 * 13)) | ((1 << (3 * 13)) - 1)
+    assert not ev(h3_is_valid_sql("h"), bad_pent)
+    ok_pent = (1 << 59) | (2 << 52) | (pent << 45) \
+        | (2 << (3 * 14)) | (1 << (3 * 13)) | ((1 << (3 * 13)) - 1)
+    assert ev(h3_is_valid_sql("h"), ok_pent)

@@ -85,3 +85,84 @@ def hex_density(df, xcol: str = "x32", ycol: str = "y32", res: int = 8):
 
     return (hex_bin(df, xcol, ycol, res)
             .groupBy("hq", "hr").agg(F.count("*").alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# H3 interop: the standard H3 index BIT LAYOUT as exact SQL expressions
+#
+# Externally-computed H3 cell ids (the 64-bit H3 v3/v4 cell index,
+# h3geo.org/docs/core-library/h3Indexing: 1 reserved bit, 4 mode bits,
+# 3 reserved bits, 4 resolution bits, 7 base-cell bits, then 15 3-bit
+# aperture-7 digits, unused digits = 7) can be validated, resolution-
+# extracted, and rolled up to parents entirely with integer bit math —
+# no icosahedral projection needed.  This is the interop path for
+# joining external datasets keyed by real H3 ids through the density /
+# kNN operators; computing an H3 id FROM lat/lng stays out of scope
+# (the planar hex lattice above is the honest in-engine analogue).
+#
+# Everything below is plain-integer SQL valid in both Spark and DuckDB,
+# so oracle queries hash-match bit for bit.
+
+# the 12 pentagon base cells (public H3 baseCellData table)
+H3_PENTAGONS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+
+
+def h3_resolution_sql(h: str) -> str:
+    return f"(({h} >> 52) & 15)"
+
+
+def h3_base_cell_sql(h: str) -> str:
+    return f"(({h} >> 45) & 127)"
+
+
+def h3_digit_sql(h: str, i: int) -> str:
+    """Digit i (1-based, 1 = coarsest) of the 15 aperture-7 digits."""
+    return f"(({h} >> {3 * (15 - i)}) & 7)"
+
+
+def h3_to_parent_sql(h: str, parent_res: int) -> str:
+    """Parent cell at parent_res: set the res field and fill every
+    digit below parent_res with 7 (h3ToParent is pure bit math)."""
+    low = (1 << (3 * (15 - parent_res))) - 1
+    # positive-constant mask (valid cell ids have the high bit clear),
+    # avoiding engine-specific bitwise-NOT spellings
+    mask = ((1 << 63) - 1) ^ (15 << 52)
+    return (f"cast((({h} | {low}) & {mask}) | {parent_res << 52} "
+            "AS BIGINT)")
+
+
+def h3_is_valid_sql(h: str) -> str:
+    """h3IsValid as one boolean expression: cell mode, zeroed reserved
+    bits, base cell < 122, digits 1..res in 0..6, digits res+1..15 all
+    7, and the pentagon deleted-K-subsequence rule (first nonzero digit
+    of a pentagon cell may not be 1)."""
+    res = h3_resolution_sql(h)
+    bc = h3_base_cell_sql(h)
+    checks = [
+        f"({h} >= 0)",                       # reserved high bit clear
+        f"((({h} >> 59) & 15) = 1)",         # mode = cell
+        f"((({h} >> 56) & 7) = 0)",          # reserved bits clear
+        f"({bc} < 122)",
+    ]
+    for i in range(1, 16):
+        d = h3_digit_sql(h, i)
+        checks.append(f"(CASE WHEN {i} <= {res} THEN {d} <> 7 "
+                      f"ELSE {d} = 7 END)")
+    # first nonzero digit within res (0 when all zero / res 0)
+    eff = [f"nullif(CASE WHEN {i} <= {res} THEN {h3_digit_sql(h, i)} "
+           f"ELSE 0 END, 0)" for i in range(1, 16)]
+    first_nz = f"coalesce({', '.join(eff)}, 0)"
+    pent = " OR ".join(f"{bc} = {p}" for p in H3_PENTAGONS)
+    checks.append(f"(NOT ({pent}) OR {first_nz} <> 1)")
+    return "(" + " AND ".join(checks) + ")"
+
+
+def h3_parent_rollup(df, h3col: str, parent_res: int, extra: tuple = ()):
+    """Group rows of an externally-H3-keyed DataFrame by the parent
+    cell at parent_res — one narrow bit-math projection + one hash
+    aggregation (map-side partials), the same shape at any scale."""
+    from pyspark.sql import functions as F
+
+    return (df.selectExpr(*extra,
+                          f"{h3_to_parent_sql(h3col, parent_res)} AS parent")
+            .groupBy("parent").agg(F.count("*").alias("cnt")))
