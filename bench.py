@@ -117,19 +117,46 @@ def shrink_rows(spark, n_pages: int, maxzoom: int = 8):
     }
 
 
+def _widen_props(df, chars: int):
+    """Append a deterministic ~chars-byte string property to every
+    feature (wide-row corpus for the spool byte-budget probe)."""
+    from tippecanoe_spark.pipeline import (FEATURE_SCHEMA_DDL, pack_props,
+                                           unpack_props)
+
+    def fn(it):
+        pad = "x" * chars
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["props"] = [
+                (lambda kvt: pack_props(kvt[0] + ["pad"], kvt[1] + [0],
+                                        kvt[2] + [pad]))(unpack_props(b))
+                for b in pdf["props"]]
+            yield pdf
+
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA_DDL)
+
+
 def spool_memory_worker(mode: str, n_pages: int = 60000):
     """Child JVM: polygon/line-heavy z0-hot as-needed build (the
     drop-smallest mode disables both the prefilter and the point-only
     shrink, so the z0 group carries every feature) while sampling the
     peak RSS of the pyspark.daemon python workers.  mode='stream'
     forces spool spilling (TS_SPOOL_MEM_ROWS=4096); mode='whole' is the
-    legacy whole-group applyInPandas encode."""
+    legacy whole-group applyInPandas encode.  A '-wide' suffix pads
+    every feature with a ~4 KB string property (10x-wider rows): the
+    spool's BYTE budget (TS_SPOOL_MEM_BYTES) must keep the delta-RSS
+    bounded where the whole-group encode grows with row width."""
     import glob
     import threading
 
+    wide = mode.endswith("-wide")
+    if wide:
+        mode = mode[: -len("-wide")]
+        n_pages = n_pages // 4  # same feature volume in bytes, wider rows
     os.environ["TS_STREAM_ENCODE"] = "1" if mode == "stream" else "0"
     if mode == "stream":
         os.environ["TS_SPOOL_MEM_ROWS"] = "4096"
+        os.environ["TS_SPOOL_MEM_BYTES"] = str(8 << 20)
 
     peak = [0]
     stop = threading.Event()
@@ -171,6 +198,8 @@ def spool_memory_worker(mode: str, n_pages: int = 60000):
     peak[0] = 0
 
     feats = extract_features_df(spark, pages_df(spark, n_pages, seed=42), cfg)
+    if wide:
+        feats = _widen_props(feats, 4096)
     t0 = time.time()
     tiles = build_tiles(spark, feats, cfg)
     agg = tiles.selectExpr("count(*) AS n", "sum(crc32(tile)) AS crc").collect()[0]
@@ -362,17 +391,18 @@ def main():
     # spool vs whole-group encode, separate JVMs; byte-identity checked
     # via tile crc sums
     spool_mem = {}
-    for mode in ("stream", "whole"):
+    for mode in ("stream", "whole", "stream-wide", "whole-wide"):
         r = subprocess.run(
             [sys.executable, __file__, "--spool-worker", mode],
             capture_output=True, text=True, check=True)
         spool_mem[mode] = json.loads(r.stdout.strip().splitlines()[-1])
-    spool_mem["identical_tiles"] = (
-        spool_mem["stream"]["tiles"] == spool_mem["whole"]["tiles"]
-        and spool_mem["stream"]["tiles_crc_sum"] == spool_mem["whole"]["tiles_crc_sum"])
-    spool_mem["delta_rss_ratio"] = round(
-        spool_mem["stream"]["delta_rss_kb"]
-        / max(spool_mem["whole"]["delta_rss_kb"], 1), 3)
+    for suffix in ("", "-wide"):
+        s, w = spool_mem[f"stream{suffix}"], spool_mem[f"whole{suffix}"]
+        spool_mem[f"identical_tiles{suffix}"] = (
+            s["tiles"] == w["tiles"]
+            and s["tiles_crc_sum"] == w["tiles_crc_sum"])
+        spool_mem[f"delta_rss_ratio{suffix}"] = round(
+            s["delta_rss_kb"] / max(w["delta_rss_kb"], 1), 3)
 
     total = round(sum(qtimes.values()), 3)
     out = {

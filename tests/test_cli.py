@@ -481,29 +481,29 @@ def test_cli_tile_stats_limits_match_reference(tmp_path):
     from tippecanoe_spark.cli import main
     from tippecanoe_spark.operators import stats as stats_mod
 
-    saved = (stats_mod.MAX_TILESTATS_ATTRIBUTES,
-             stats_mod.MAX_TILESTATS_SAMPLE_VALUES,
-             stats_mod.MAX_TILESTATS_VALUES)
-    try:
-        src = f"{REF_TESTS}/muni/muni.json"
-        ref_out = tmp_path / "ref.mbtiles"
-        our_out = tmp_path / "ours.mbtiles"
-        opts = ["-q", "-f", "-z3", "--tile-stats-values-limit", "3",
-                "--tile-stats-sample-values-limit", "7"]
-        subprocess.run([REFBIN, *opts, "-o", str(ref_out), src],
-                       check=True, capture_output=True)
-        rc = main([*opts, "--spark-master", "local[4]",
-                   "-o", str(our_out), src])
-        assert rc == 0
-        ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
-            "select name, value from metadata"))
-        our_meta = dict(sqlite3.connect(str(our_out)).execute(
-            "select name, value from metadata"))
-        assert our_meta["json"] == ref_meta["json"]
-    finally:
-        (stats_mod.MAX_TILESTATS_ATTRIBUTES,
-         stats_mod.MAX_TILESTATS_SAMPLE_VALUES,
-         stats_mod.MAX_TILESTATS_VALUES) = saved
+    defaults = (stats_mod.MAX_TILESTATS_ATTRIBUTES,
+                stats_mod.MAX_TILESTATS_SAMPLE_VALUES,
+                stats_mod.MAX_TILESTATS_VALUES)
+    src = f"{REF_TESTS}/muni/muni.json"
+    ref_out = tmp_path / "ref.mbtiles"
+    our_out = tmp_path / "ours.mbtiles"
+    opts = ["-q", "-f", "-z3", "--tile-stats-values-limit", "3",
+            "--tile-stats-sample-values-limit", "7"]
+    subprocess.run([REFBIN, *opts, "-o", str(ref_out), src],
+                   check=True, capture_output=True)
+    rc = main([*opts, "--spark-master", "local[4]",
+               "-o", str(our_out), src])
+    assert rc == 0
+    ref_meta = dict(sqlite3.connect(str(ref_out)).execute(
+        "select name, value from metadata"))
+    our_meta = dict(sqlite3.connect(str(our_out)).execute(
+        "select name, value from metadata"))
+    assert our_meta["json"] == ref_meta["json"]
+    # the limits live on TileConfig now: building with overrides must
+    # NOT leak into the module defaults (the r4 ADVICE defect)
+    assert (stats_mod.MAX_TILESTATS_ATTRIBUTES,
+            stats_mod.MAX_TILESTATS_SAMPLE_VALUES,
+            stats_mod.MAX_TILESTATS_VALUES) == defaults
 
 
 @requires_reference

@@ -128,3 +128,85 @@ def test_small_spool_stays_in_memory():
     assert not sp.spilled
     assert list(sp.concat()["seq"]) == [1, 2]
     sp.close()
+
+
+def _mk_wide(rows, prop_bytes):
+    """Frame with a wide (packed) props column, ~prop_bytes per row."""
+    from tippecanoe_spark.pipeline import pack_props
+
+    pdf = _mk(rows)
+    n = len(rows)
+    pdf["props"] = [pack_props(["blob"], [6], ["x" * prop_bytes])
+                    for _i in range(n)]
+    pdf["layer"] = "l"
+    pdf["has_id"] = False
+    pdf["id"] = np.zeros(n, dtype=np.int64)
+    pdf["tp_minzoom"] = np.full(n, -1, dtype=np.int32)
+    pdf["tp_maxzoom"] = np.full(n, -1, dtype=np.int32)
+    pdf["fmz"] = np.zeros(n, dtype=np.int8)
+    pdf["ix"] = np.zeros(n, dtype=np.int64)
+    pdf["extent"] = np.zeros(n, dtype=np.int64)
+    pdf["ops"] = [b""] * n
+    pdf["xs"] = [b""] * n
+    pdf["ys"] = [b""] * n
+    return pdf
+
+
+def test_spool_byte_budget_spills_wide_rows():
+    """Wide rows hit the BYTE bound long before the row bound: 10 rows
+    of 1 MB props spill against a 2 MB budget even with mem_rows
+    huge, and re-iteration returns every row intact."""
+    sp = _TileSpool(mem_rows=1 << 20, mem_bytes=2 << 20,
+                    slice_bytes=64 << 20)
+    for k in range(10):
+        sp.add(_mk_wide([(0, 0, 0, k)], 1 << 20))
+    assert sp.spilled
+    got = sorted(r["seq"] for r in sp.iter_rows())
+    assert got == list(range(10))
+    # re-iterable (the retry-ladder contract)
+    assert sorted(r["seq"] for r in sp.iter_rows()) == got
+    sp.close()
+
+
+def test_spool_chunks_oversized_slices():
+    """A single slice past slice_bytes is split before buffering, so
+    no pickled record (and no chunk re-materialized on iteration)
+    exceeds the budget; content and order survive."""
+    import pickle
+
+    sp = _TileSpool(mem_rows=1 << 20, mem_bytes=1 << 20,
+                    slice_bytes=256 << 10)
+    # one 40-row slice, ~100 KB/row = ~4 MB > both budgets
+    sp.add(_mk_wide([(0, 0, 0, k) for k in range(40)], 100 << 10))
+    assert sp.spilled
+    sp._tmp.flush()
+    sp._tmp.seek(0)
+    sizes = []
+    while True:
+        try:
+            sl = pickle.load(sp._tmp)
+        except EOFError:
+            break
+        sizes.append(len(sl))
+    assert len(sizes) > 1          # actually chunked
+    assert max(sizes) <= 3         # 256 KB budget / 100 KB rows
+    got = [r["seq"] for r in sp.iter_rows()]
+    assert got == list(range(40))  # order preserved
+    sp.close()
+
+
+def test_spool_dir_honors_spark_local_dirs(tmp_path, monkeypatch):
+    """The spill lands under SPARK_LOCAL_DIRS when set (the executor's
+    shuffle disks), not the process TMPDIR."""
+    d = tmp_path / "sparklocal"
+    d.mkdir()
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", str(d))
+    sp = _TileSpool(mem_rows=1, mem_bytes=1 << 30, slice_bytes=1 << 30)
+    sp.add(_mk([(0, 0, 0, 1), (0, 0, 0, 2)]))
+    assert sp.spilled
+    # TemporaryFile unlinks the name; prove location via fd target
+    import os as _os
+
+    target = _os.readlink(f"/proc/self/fd/{sp._tmp.fileno()}")
+    assert str(d) in target, target
+    sp.close()

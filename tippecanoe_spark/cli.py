@@ -57,11 +57,15 @@ def options_to_config(options, maxzoom_default: int = 14):
             continue
         base, eq, val = t.partition("=") if t.startswith("--") else (t, "", "")
         if base in ("--prevent", "--additional"):
+            if not eq and j + 1 >= len(toks):
+                raise ValueError(f"option {base} requires an argument")
             letters = val if eq else toks[j + 1]
             skip = not eq
             norm.append(("-p" if base == "--prevent" else "-a") + letters)
             continue
         if base in value_alias:
+            if not eq and j + 1 >= len(toks):
+                raise ValueError(f"option {base} requires an argument")
             v = val if eq else toks[j + 1]
             skip = not eq
             norm.append(value_alias[base] + v)
@@ -315,15 +319,13 @@ def options_to_config(options, maxzoom_default: int = 14):
             # the reference sets globals in mbtiles.cpp (main.cpp:2684-
             # 2689); ours live in operators.stats and propagate to the
             # Spark layermap collectors at plan build
-            from .operators import stats as _stats
-
             n = int(toks[i + 1])
             if t == "--tile-stats-attributes-limit":
-                _stats.MAX_TILESTATS_ATTRIBUTES = n
+                cfg.tilestats_attributes_limit = n
             elif t == "--tile-stats-sample-values-limit":
-                _stats.MAX_TILESTATS_SAMPLE_VALUES = n
+                cfg.tilestats_sample_values_limit = n
             else:
-                _stats.MAX_TILESTATS_VALUES = n
+                cfg.tilestats_values_limit = n
             i += 2
             continue
         if t == "--force-feature-limit":  # long name of -pd
@@ -578,7 +580,7 @@ def build_main(argv) -> int:
 
                 resolve_guesses_spark(df, cfg, cfg.guess_maxzoom_flag,
                                       cfg.basezoom, cfg.droprate)
-            layers = collect_layer_stats_spark(df)
+            layers = collect_layer_stats_spark(df, cfg)
             file_bbox = _file_bbox_spark(spark, eng["inputs"], parse_cfg, la)
             tiles_df = build_tiles(spark, df, cfg)
 

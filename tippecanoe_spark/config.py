@@ -61,6 +61,10 @@ class TileConfig:
     one_tile: tuple | None = None               # -R z/x/y -> (x, y); z pins min=max
     attribute_descriptions: dict = field(default_factory=dict)  # -Y name:desc
     no_tilestats: bool = False                  # -pg / --no-tile-stats
+    # --tile-stats-*-limit overrides (None = operators/stats defaults)
+    tilestats_attributes_limit: int | None = None
+    tilestats_sample_values_limit: int | None = None
+    tilestats_values_limit: int | None = None
 
     # prevent[] flags
     no_clipping: bool = False        # -pc

@@ -102,6 +102,15 @@ def hex_density(df, xcol: str = "x32", ycol: str = "y32", res: int = 8):
 #
 # Everything below is plain-integer SQL valid in both Spark and DuckDB,
 # so oracle queries hash-match bit for bit.
+#
+# Why not geographic lat/lng -> H3 here: the icosahedral projection
+# needs H3's published numeric tables (20 face centers/azimuths, the
+# 122-entry base-cell orientation table, the 540-entry faceIjkBaseCells
+# mapping).  Those exact constants are not reproducible offline, and
+# approximating them would mint ids that LOOK like H3 but disagree with
+# every real H3 dataset — strictly worse than no projection.  The
+# supported contract is: ids computed upstream by the real library,
+# validated/rolled-up/joined exactly here.
 
 # the 12 pentagon base cells (public H3 baseCellData table)
 H3_PENTAGONS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)

@@ -24,9 +24,50 @@ from ..core import mvt as M
 from ..core.jsonwriter import JsonWriter
 from ..core.projection import tile2lonlat
 
+# defaults (mbtiles.cpp globals); per-build overrides live on
+# TileConfig (--tile-stats-*-limit) and are applied scoped via
+# _tilestats_limits — parsing a config never mutates these.
 MAX_TILESTATS_ATTRIBUTES = 1000
 MAX_TILESTATS_SAMPLE_VALUES = 1000
 MAX_TILESTATS_VALUES = 100
+
+
+def resolve_tilestats_limits(cfg) -> tuple:
+    """(attributes, sample_values, values) for a build: TileConfig
+    overrides where set, module defaults otherwise."""
+    if cfg is None:
+        return (MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
+                MAX_TILESTATS_VALUES)
+    a = cfg.tilestats_attributes_limit
+    s = cfg.tilestats_sample_values_limit
+    v = cfg.tilestats_values_limit
+    return (a if a is not None else MAX_TILESTATS_ATTRIBUTES,
+            s if s is not None else MAX_TILESTATS_SAMPLE_VALUES,
+            v if v is not None else MAX_TILESTATS_VALUES)
+
+
+class _tilestats_limits:
+    """Scoped application of a limits tuple to the module globals the
+    stats kernels read; always restores on exit."""
+
+    def __init__(self, limits: tuple):
+        self.limits = limits
+
+    def __enter__(self):
+        global MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES, \
+            MAX_TILESTATS_VALUES
+        self.saved = (MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
+                      MAX_TILESTATS_VALUES)
+        (MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
+         MAX_TILESTATS_VALUES) = self.limits
+        return self
+
+    def __exit__(self, *exc):
+        global MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES, \
+            MAX_TILESTATS_VALUES
+        (MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
+         MAX_TILESTATS_VALUES) = self.saved
+        return False
 
 
 def _atof(s: str) -> float:
@@ -86,7 +127,7 @@ def collect_layer_stats(features) -> dict:
     return layers
 
 
-def collect_layer_stats_spark(features_df) -> dict:
+def collect_layer_stats_spark(features_df, cfg=None) -> dict:
     """Distributed layermap: per-partition LayerStats merged on the
     driver (merge_layermaps, mbtiles.cpp:559-634).
 
@@ -94,8 +135,7 @@ def collect_layer_stats_spark(features_df) -> dict:
     inside the workers — the executor's fresh module import would
     otherwise silently use the defaults when the CLI's
     --tile-stats-*-limit flags changed them."""
-    limits = (MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
-              MAX_TILESTATS_VALUES)
+    limits = resolve_tilestats_limits(cfg)
 
     def part(it):
         import pandas as pd
@@ -124,6 +164,11 @@ def collect_layer_stats_spark(features_df) -> dict:
         yield pd.DataFrame(rows, columns=["layer", "blob"])
 
     parts = features_df.mapInPandas(part, schema="layer string, blob binary").collect()
+    with _tilestats_limits(limits):
+        return _merge_layer_parts(parts)
+
+
+def _merge_layer_parts(parts) -> dict:
     merged = {}
     for row in parts:
         pts, lns, pls, fks = __import__("pickle").loads(bytes(row["blob"]))
@@ -323,6 +368,15 @@ def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
 def build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
                    description: str | None = None, layers: dict | None = None,
                    file_bbox=None, busiest=None) -> dict:
+    # scoped --tile-stats-*-limit overrides for both the collection and
+    # the tilestats JSON writer below
+    with _tilestats_limits(resolve_tilestats_limits(cfg)):
+        return _build_metadata(features, tiles, cfg, name, description,
+                               layers, file_bbox, busiest)
+
+
+def _build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
+                    description, layers, file_bbox, busiest) -> dict:
     """Full metadata dict for write_mbtiles (main.cpp:2297-2334).
 
     ``busiest``: optional (midx, midy) of the biggest maxzoom tile,

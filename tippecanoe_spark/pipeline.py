@@ -400,37 +400,96 @@ def _empty_tiles_pdf() -> pd.DataFrame:
 
 # in-memory rows per tile run before the spool spills to local disk
 _SPOOL_MEM_ROWS_ENV = "TS_SPOOL_MEM_ROWS"
+_SPOOL_MEM_BYTES_ENV = "TS_SPOOL_MEM_BYTES"
+_SPOOL_SLICE_BYTES_ENV = "TS_SPOOL_SLICE_BYTES"
+
+
+def _spool_dir():
+    """Executor-local spill directory: Spark's configured local dirs
+    (SPARK_LOCAL_DIRS / spark.local.dir reach the python worker via
+    the env), falling back to the process default TMPDIR — so on
+    clusters where /tmp is small or memory-backed the spool spills to
+    the same disks as Spark's own shuffle files."""
+    import os as _os
+
+    for var in ("SPARK_LOCAL_DIRS", "SPARK_LOCAL_DIR"):
+        v = _os.environ.get(var)
+        if v:
+            d = v.split(",")[0].strip()
+            if d and _os.path.isdir(d):
+                return d
+    return None
+
+
+def _pdf_bytes_est(sl: pd.DataFrame) -> int:
+    """Cheap byte estimate of a cascade-schema slice: fixed-width
+    columns at ~120 B/row plus the variable binary payloads (props,
+    ops, xs, ys) measured exactly.  One O(n) pass, no deep pandas
+    introspection."""
+    b = len(sl) * 120
+    for c in ("props", "ops", "xs", "ys"):
+        if c in sl.columns:
+            b += int(sum(len(v) for v in sl[c].to_numpy()))
+    return b
 
 
 class _TileSpool:
     """Accumulates ONE (z, x, y) tile run as sorted pandas slices with
-    bounded memory: past ``mem_rows`` the slices spill to an executor-
-    local temp file (pickle stream) and every later slice goes straight
-    to disk.  This is the reference's temp-geometry-file architecture
+    bounded memory: past ``mem_rows`` rows OR ``mem_bytes`` estimated
+    bytes (wide-row corpora hit the byte bound long before the row
+    bound) the slices spill to an executor-local temp file (pickle
+    stream, under Spark's local dirs) and every later slice goes
+    straight to disk.  Oversized slices are split to ``slice_bytes``
+    chunks before buffering/pickling so no single pickled record — and
+    no single chunk re-materialized during iter_rows — exceeds the
+    budget.  This is the reference's temp-geometry-file architecture
     (write_tile streams features from disk and seeks back to the tile's
     start on every retry, tile.cpp:2332-2520): ``iter_rows`` re-reads
     the spill from the top, so process_tile's retry ladder can run any
     number of passes while holding only the survivors in memory."""
 
-    __slots__ = ("slices", "rows", "mem_rows", "all_points", "_tmp")
+    __slots__ = ("slices", "rows", "mem_rows", "mem_bytes", "bytes",
+                 "slice_bytes", "all_points", "_tmp")
 
-    def __init__(self, mem_rows: int):
+    def __init__(self, mem_rows: int, mem_bytes: int | None = None,
+                 slice_bytes: int | None = None):
+        import os as _os
+
         self.slices = []
         self.rows = 0
+        self.bytes = 0
         self.mem_rows = mem_rows
+        self.mem_bytes = mem_bytes if mem_bytes is not None else int(
+            _os.environ.get(_SPOOL_MEM_BYTES_ENV, str(64 << 20)))
+        self.slice_bytes = slice_bytes if slice_bytes is not None else int(
+            _os.environ.get(_SPOOL_SLICE_BYTES_ENV, str(8 << 20)))
         self.all_points = True
         self._tmp = None
 
     def add(self, sl: pd.DataFrame) -> None:
-        import pickle
-
         if self.all_points and not (sl["t"].to_numpy() == 1).all():
             self.all_points = False
+        est = _pdf_bytes_est(sl)
+        if est > self.slice_bytes and len(sl) > 1:
+            n_chunks = min(-(-est // self.slice_bytes), len(sl))
+            step = -(-len(sl) // n_chunks)
+            for lo in range(0, len(sl), step):
+                self._add_one(sl.iloc[lo: lo + step],
+                              _pdf_bytes_est(sl.iloc[lo: lo + step]))
+        else:
+            self._add_one(sl, est)
+
+    def _add_one(self, sl: pd.DataFrame, est: int) -> None:
+        import pickle
+
         self.rows += len(sl)
-        if self._tmp is None and self.rows > self.mem_rows:
+        self.bytes += est
+        if self._tmp is None and (self.rows > self.mem_rows
+                                  or self.bytes > self.mem_bytes):
             import tempfile
 
-            self._tmp = tempfile.TemporaryFile(prefix="ts_spool_")
+            self._tmp = tempfile.TemporaryFile(prefix="ts_spool_",
+                                               dir=_spool_dir())
             for s in self.slices:
                 pickle.dump(s, self._tmp, protocol=4)
             self.slices = []
