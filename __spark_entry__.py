@@ -837,6 +837,101 @@ def q_multimodal_features(spark, sf_dir):
     return feats
 
 
+def q_multimodal_av(spark, sf_dir):
+    """Audio/video multimodal kernels end-to-end (r5: REAL codecs —
+    RIFF/WAVE PCM decode for audio, animated-GIF LZW decode + PNG
+    re-encode for sampled video frames).  Non-SQL-expressible
+    (codec-derived payloads), so the entry SELF-VERIFIES: the
+    distributed audio features must equal the local kernel run, and
+    every sampled frame must PNG-decode back to the palette-resolved
+    source GIF frame.  Returns one row per medium: audio rows carry
+    (n_units=samples, m1=rms, m2=zero_crossings); video rows carry
+    (n_units=frames sampled, m1=mean pixel over sampled frames,
+    m2=total duration ms)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tippecanoe_spark.io.multimodal import (MEDIA_SCHEMA_DDL,
+                                                audio_features, decode_gif,
+                                                decode_png, decode_wav,
+                                                frame_sample, synth_media_pdf)
+
+    n = 300
+
+    def gen(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                yield synth_media_pdf(50, seed=11, start=int(r.id) * 50)
+
+    media = spark.range(n // 50).mapInPandas(gen, schema=MEDIA_SCHEMA_DDL)
+    aud = audio_features(spark, media)
+    frames = frame_sample(spark, media, every_ms=100)
+
+    def frame_stats(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(bytes(r.frame))
+                rows.append({"media_id": r.media_id,
+                             "frame_idx": int(r.frame_idx),
+                             "pix_mean": float(img.astype(np.float64).mean())})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    fstats = frames.mapInPandas(
+        frame_stats, schema="media_id long, frame_idx int, pix_mean double")
+    vid = (fstats.groupBy("media_id")
+           .agg(F.count("*").alias("n_units"),
+                F.avg("pix_mean").alias("m1"))
+           .join(media.select("media_id",
+                              F.col("duration_ms").cast("double").alias("m2")),
+                 "media_id"))
+    out = (aud.select("media_id", F.lit("audio").alias("kind"),
+                      F.col("n_samples").alias("n_units"),
+                      F.col("rms").alias("m1"),
+                      F.col("zero_crossings").cast("double").alias("m2"))
+           .unionByName(vid.select("media_id", F.lit("video").alias("kind"),
+                                   "n_units", "m1", "m2")))
+
+    # ---- self-check: distributed == local kernels
+    got = out.toPandas().sort_values("media_id").reset_index(drop=True)
+    local = synth_media_pdf(n, seed=11)
+    rows = []
+    for r in local.itertuples(index=False):
+        if r.kind == "audio":
+            s, rate, _ = decode_wav(bytes(r.payload))
+            s = s.astype(np.float64)
+            rows.append({"media_id": r.media_id, "kind": "audio",
+                         "n_units": len(s),
+                         "m1": float(np.sqrt((s * s).mean())),
+                         "m2": float((np.signbit(s[1:])
+                                      != np.signbit(s[:-1])).sum())})
+        elif r.kind == "video":
+            gframes, pal, delays = decode_gif(bytes(r.payload))
+            ends = np.cumsum([(d if d > 0 else 10) * 10 for d in delays])
+            means = []
+            for k, t in enumerate(range(0, max(int(ends[-1]), 1), 100)):
+                if k >= 16:
+                    break
+                fi = min(int(np.searchsorted(ends, t, side="right")),
+                         len(gframes) - 1)
+                means.append(float(pal[gframes[fi]].astype(np.float64).mean()))
+            rows.append({"media_id": r.media_id, "kind": "video",
+                         "n_units": len(means),
+                         "m1": float(np.mean(means)),
+                         "m2": float(r.duration_ms)})
+    want = pd.DataFrame(rows).sort_values("media_id").reset_index(drop=True)
+    want["n_units"] = want["n_units"].astype("int64")
+    if not np.allclose(got["m1"].to_numpy(), want["m1"].to_numpy(), atol=1e-9) \
+            or not got["n_units"].equals(want["n_units"]) \
+            or not np.allclose(got["m2"].to_numpy(), want["m2"].to_numpy()) \
+            or list(got["kind"]) != list(want["kind"]):
+        raise AssertionError("multimodal_av self-check failed: distributed "
+                             "audio/video kernels != local reference")
+    return out
+
+
 def q_tpch_q1ish(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return (
@@ -889,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "tile_pyramid": q_tile_pyramid,
         "multimodal_features": q_multimodal_features,
+        "multimodal_av": q_multimodal_av,
         "tpch_q1ish": q_tpch_q1ish,
     }
 

@@ -115,6 +115,145 @@ def test_synth_images_are_real_png():
         assert dec.shape[0] == r.height and dec.shape[1] == r.width
 
 
+def test_wav_roundtrip_and_hand_fixture():
+    """decode_wav against bytes assembled BY HAND (chunk layout written
+    out manually, incl. a foreign JUNK chunk and 8-bit PCM), plus
+    encode->decode identity for 16-bit across sizes/rates."""
+    import struct
+
+    import numpy as np
+
+    from tippecanoe_spark.io.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    for n, rate in ((1, 8000), (777, 16000), (4096, 44100)):
+        s = rng.integers(-32768, 32767, n).astype(np.int16)
+        got, r2, ch = decode_wav(encode_wav(s, rate))
+        assert r2 == rate and ch == 1 and np.array_equal(got, s), (n, rate)
+    # hand-built: 8-bit PCM with a JUNK chunk between fmt and data
+    pcm8 = bytes(rng.integers(0, 256, 100).tolist())
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"JUNK" + struct.pack("<I", 4) + b"abcd"
+            + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
+    s8, r8, c8 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert r8 == 8000 and c8 == 1 and len(s8) == 100
+    assert s8[0] == (pcm8[0] - 128) * 256
+    # compressed formats must raise, not silently mis-decode
+    badfmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # MP3 tag
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(badfmt)) + badfmt
+            + b"data" + struct.pack("<I", 0) + b"")
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_gif_decode_public_fixture():
+    """decode_gif against the canonical public 1x1 transparent-GIF
+    byte string (the classic web tracking pixel), which no in-repo
+    encoder produced — checks the LZW decoder and block walk against
+    the spec, not against encode_gif."""
+    from tippecanoe_spark.io.multimodal import decode_gif
+
+    gif1x1 = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+              b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+              b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00"
+              b"\x3b")
+    frames, palette, delays = decode_gif(gif1x1)
+    assert len(frames) == 1
+    assert frames[0].shape == (1, 1)
+    assert frames[0][0, 0] == 0
+    assert palette.tolist() == [[255, 255, 255], [0, 0, 0]]
+
+
+def test_gif_roundtrip_animated():
+    """encode -> decode identity across palette sizes, frame counts,
+    and sizes crossing the 255-byte sub-block and LZW code-growth
+    boundaries, incl. the >4096-code table-reset path."""
+    import numpy as np
+
+    from tippecanoe_spark.io.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    for (w, h, ncol, nfr) in ((3, 2, 4, 1), (16, 16, 16, 3),
+                              (40, 30, 256, 5), (128, 64, 256, 2)):
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        frames = [rng.integers(0, ncol, (h, w)).astype(np.uint8)
+                  for _ in range(nfr)]
+        f2, p2, d2 = decode_gif(encode_gif(frames, pal, delay_cs=12))
+        assert np.array_equal(p2, pal)
+        assert len(f2) == nfr and d2 == [12] * nfr
+        assert all(np.array_equal(a, b) for a, b in zip(frames, f2))
+    big = rng.integers(0, 256, (64, 400)).astype(np.uint8)  # table reset
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    f3, _, _ = decode_gif(encode_gif([big], pal))
+    assert np.array_equal(f3[0], big)
+
+
+def test_synth_audio_video_are_real_payloads():
+    import numpy as np
+
+    from tippecanoe_spark.io.multimodal import (decode_gif, decode_wav,
+                                                synth_media_pdf)
+
+    pdf = synth_media_pdf(60, seed=9)
+    for r in pdf[pdf["kind"] == "audio"].itertuples(index=False):
+        samples, rate, ch = decode_wav(bytes(r.payload))
+        assert rate == 8000 and ch == 1
+        assert round(len(samples) * 1000 / rate) == r.duration_ms
+        assert np.abs(samples).max() > 1000  # actual signal, not silence
+    for r in pdf[pdf["kind"] == "video"].itertuples(index=False):
+        frames, palette, delays = decode_gif(bytes(r.payload))
+        assert frames[0].shape == (r.height, r.width)
+        assert sum(d * 10 for d in delays) == r.duration_ms
+        assert len(palette) == 16
+
+
+def test_audio_features_distributed_matches_local(spark):
+    import numpy as np
+
+    from tippecanoe_spark.io.multimodal import (audio_features, decode_wav,
+                                                synth_media_pdf)
+
+    pdf = synth_media_pdf(90, seed=5)
+    got = {r["media_id"]: r for r in
+           audio_features(spark, spark.createDataFrame(pdf)).collect()}
+    aud = pdf[pdf["kind"] == "audio"]
+    assert len(got) == len(aud)
+    for r in aud.itertuples(index=False):
+        s, rate, _ = decode_wav(bytes(r.payload))
+        s = s.astype(np.float64)
+        g = got[r.media_id]
+        assert g["n_samples"] == len(s)
+        assert g["rate"] == rate
+        assert abs(g["rms"] - float(np.sqrt((s * s).mean()))) < 1e-9
+        assert g["zero_crossings"] == int(
+            (np.signbit(s[1:]) != np.signbit(s[:-1])).sum())
+
+
+def test_frame_sample_real_gif_frames(spark):
+    """Sampled frames are PNG-encoded decodes of the ACTUAL GIF
+    frames: re-decoding the emitted PNG reproduces the palette-
+    resolved source frame at the right timeline position."""
+    import numpy as np
+
+    from tippecanoe_spark.io.multimodal import (decode_gif, decode_png,
+                                                frame_sample, synth_media_pdf)
+
+    pdf = synth_media_pdf(30, seed=3)
+    out = frame_sample(spark, spark.createDataFrame(pdf),
+                       every_ms=100).collect()
+    assert len(out) > 0
+    vids = {r.media_id: bytes(r.payload)
+            for r in pdf[pdf["kind"] == "video"].itertuples(index=False)}
+    multi = 0
+    for row in out:
+        frames, palette, _delays = decode_gif(vids[row["media_id"]])
+        want = palette[frames[row["frame_idx"]]]
+        assert np.array_equal(decode_png(bytes(row["frame"])), want)
+        multi += row["frame_idx"] > 0
+    assert multi > 0  # the timeline walk reaches beyond frame 0
+
+
 def test_dirtiles_roundtrip(tmp_path):
     from tippecanoe_spark.io.dirtiles import read_dirtiles, write_dirtiles
 
