@@ -1,0 +1,183 @@
+"""tippecanoe-json-tool drop-in (jsontool.cpp): byte parity against
+the reference binary for plain / --wrap / --extract / CSV-join modes,
+incl. the Makefile's own json-tool-test sequence and its checked-in
+golden, plus the Spark path."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from .conftest import REPO
+
+JTBIN = os.path.join(REPO, ".refbuild", "tippecanoe-json-tool")
+JP = "/root/reference/tests/join-population"
+
+requires_jsontool = pytest.mark.skipif(
+    not os.path.exists(JTBIN), reason="tippecanoe-json-tool not built")
+
+
+def _ref(args, stdin: bytes | None = None):
+    r = subprocess.run([JTBIN, *args], input=stdin, capture_output=True)
+    return r.returncode, r.stdout
+
+
+def _ours(args, stdin_text: str | None = None):
+    """Run our json-tool in-process, capturing stdout bytes."""
+    import contextlib
+    import io
+
+    from tippecanoe_spark.cli import main
+
+    buf = io.BytesIO()
+
+    class _W:
+        buffer = buf
+
+        def write(self, s):
+            buf.write(s.encode())
+
+        def flush(self):
+            pass
+
+    old_out, old_in = sys.stdout, sys.stdin
+    sys.stdout = _W()
+    try:
+        if stdin_text is not None:
+            sys.stdin = io.StringIO(stdin_text)
+        with contextlib.redirect_stderr(io.StringIO()):
+            rc = main(["json-tool", *args])
+    finally:
+        sys.stdout, sys.stdin = old_out, old_in
+    return rc, buf.getvalue()
+
+
+@requires_jsontool
+@pytest.mark.parametrize("args", [
+    [f"{JP}/macarthur.json"],
+    ["-w", f"{JP}/macarthur.json"],
+    ["-w", f"{JP}/macarthur.json", f"{JP}/macarthur2.json"],
+    ["-e", "NAME", f"{JP}/macarthur.json"],
+])
+def test_jsontool_parity_basic(args):
+    rrc, rout = _ref(args)
+    orc, oout = _ours(args)
+    assert orc == rrc
+    assert oout == rout
+
+
+@requires_jsontool
+def test_jsontool_makefile_sequence(tmp_path):
+    """The reference Makefile's json-tool-test (Makefile:280-289):
+    extract+sort, then the CSV join and its --empty-csv-columns-are-null
+    variant, compared against the binary AND the checked-in
+    .standard goldens."""
+    rrc, rout = _ref(["-e", "GEOID10", f"{JP}/tabblock_06001420.json"])
+    orc, oout = _ours(["-e", "GEOID10", f"{JP}/tabblock_06001420.json"])
+    assert (orc, oout) == (rrc, rout)
+
+    sorted_path = tmp_path / "sorted.json"
+    sorted_path.write_bytes(b"".join(
+        line + b"\n" for line in sorted(rout.splitlines())))
+
+    for extra, golden in [
+        ([], f"{JP}/tabblock_06001420.json.sort.joined.standard"),
+        (["--empty-csv-columns-are-null"],
+         f"{JP}/tabblock_06001420-null.json.sort.joined.standard"),
+    ]:
+        args = [*extra, "-c", f"{JP}/population.csv", str(sorted_path)]
+        rrc, rout2 = _ref(args)
+        orc, oout2 = _ours(args)
+        assert orc == rrc == 0
+        assert oout2 == rout2
+        assert oout2 == open(golden, "rb").read()
+
+
+@requires_jsontool
+def test_jsontool_bare_geometries_and_stdin():
+    nd = ('{"type":"Point","coordinates":[1,2]}\n'
+          '{"type":"LineString","coordinates":[[1,2],[3,4]]}\n')
+    rrc, rout = _ref(["-w"], stdin=nd.encode())
+    orc, oout = _ours(["-w"], stdin_text=nd)
+    assert (orc, oout) == (rrc, rout)
+    assert b"GeometryCollection" in oout
+
+
+@requires_jsontool
+def test_jsontool_mixture_is_fatal():
+    nd = ('{"type":"Point","coordinates":[1,2]}\n'
+          '{"type":"Feature","properties":{},'
+          '"geometry":{"type":"Point","coordinates":[5,6]}}\n')
+    rrc, rout = _ref(["-w"], stdin=nd.encode())
+    orc, oout = _ours(["-w"], stdin_text=nd)
+    assert rrc == 1 and orc == 1
+    assert oout == rout  # partial output printed before the error
+
+
+@requires_jsontool
+def test_jsontool_out_of_sort_and_unicode(tmp_path):
+    """GeoJSON out-of-sort is fatal with partial output; sort_quote
+    reproduces the reference's DECIMAL \\u%04lu quirk (including
+    >4-digit escapes for codepoints over 9999) and raw UTF-8 above the
+    surrogate threshold."""
+    src = tmp_path / "oos.json"
+    src.write_text(
+        '{"type":"Feature","properties":{"k":"b","s":"sn\\u00f6w '
+        '\\u2603 \\u0007"},"geometry":{"type":"Point",'
+        '"coordinates":[1,2]}}\n'
+        '{"type":"Feature","properties":{"k":"a"},"geometry":'
+        '{"type":"Point","coordinates":[3,4]}}\n')
+    csv = tmp_path / "j.csv"
+    csv.write_text('k, v\n"a",1\n"b",2\n')
+    rrc, rout = _ref(["-c", str(csv), str(src)])
+    orc, oout = _ours(["-c", str(csv), str(src)])
+    assert rrc == 1 and orc == 1
+    assert oout == rout
+
+    rrc, rout = _ref(["-e", "s", str(src)])
+    orc, oout = _ours(["-e", "s", str(src)])
+    assert (orc, oout) == (rrc, rout)
+    # decimal quirk: '☃' (U+2603 = 9731) as 霱, missing key as
+    # the decimal escapes of "null"
+    assert b"\\u9731" in oout
+    assert b'{"\\u0110\\u0117\\u0108\\u0108":' in oout
+
+
+@requires_jsontool
+def test_jsontool_number_and_order_preservation():
+    """jsonpull stringify keeps number source text (1.50, 1e3) and
+    duplicate keys verbatim."""
+    nd = ('{"type":"Feature","properties":{"a":1.50,"b":1e3,"a":2},'
+          '"geometry":{"type":"Point","coordinates":[0.5,1.0]}}\n')
+    rrc, rout = _ref([], stdin=nd.encode())
+    orc, oout = _ours([], stdin_text=nd)
+    assert (orc, oout) == (rrc, rout)
+    assert b'"a":1.50,"b":1e3,"a":2' in oout
+    assert b"[0.5,1.0]" in oout
+
+
+@requires_jsontool
+def test_jsontool_spark_path_matches_local(tmp_path):
+    """The distributed path produces the identical byte stream,
+    including the CSV join and multi-file wrap assembly."""
+    rrc, rout = _ref(["-e", "GEOID10", f"{JP}/tabblock_06001420.json"])
+    sorted_path = tmp_path / "sorted.json"
+    sorted_path.write_bytes(b"".join(
+        line + b"\n" for line in sorted(rout.splitlines())))
+
+    args = ["-c", f"{JP}/population.csv", str(sorted_path)]
+    _, rjoin = _ref(args)
+    orc, ojoin = _ours(["--spark-master", "local[4]", *args])
+    assert orc == 0
+    assert ojoin == rjoin
+
+    args = ["-w", f"{JP}/macarthur.json", f"{JP}/macarthur2.json"]
+    _, rwrap = _ref(args)
+    orc, owrap = _ours(["--spark-master", "local[4]", *args])
+    assert orc == 0
+    assert owrap == rwrap

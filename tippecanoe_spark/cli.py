@@ -14,6 +14,8 @@ Subcommands:
                output (incl. -c pipeline, -S stats, single-tile modes)
     join       tile-join: CSV attribute join / tileset merge
     enumerate  tippecanoe-enumerate drop-in (tile listing)
+    json-tool  tippecanoe-json-tool drop-in: canonical feature
+               re-stringify, --wrap/--extract, sorted CSV merge join
 
 Execution: the default path is the distributed Spark pipeline
 (io.geojson.geojson_files_df -> pipeline.build_tiles) on
@@ -1053,6 +1055,109 @@ def enumerate_main(argv) -> int:
     return 0
 
 
+def jsontool_main(argv) -> int:
+    """tippecanoe-json-tool drop-in (jsontool.cpp main): -w/--wrap,
+    -e/--extract, -c/--csv, -pe/--empty-csv-columns-are-null; input
+    files or stdin.  --spark-master routes the per-feature work through
+    the distributed path (io.jsontool.jsontool_spark); output bytes are
+    identical either way."""
+    from .io.jsontool import (JsonToolError, jsontool_spark,
+                              run_jsontool_local)
+
+    wrap = False
+    extract = None
+    csv_path = None
+    pe = False
+    spark_master = None
+    inputs = []
+    i = 0
+    try:
+        while i < len(argv):
+            t = argv[i]
+            if t in ("-w", "--wrap"):
+                wrap = True
+            elif t == "-e" or t == "--extract":
+                extract = argv[i + 1]
+                i += 1
+            elif t.startswith("--extract="):
+                extract = t.split("=", 1)[1]
+            elif t == "-c" or t == "--csv":
+                csv_path = argv[i + 1]
+                i += 1
+            elif t.startswith("--csv="):
+                csv_path = t.split("=", 1)[1]
+            elif t == "--empty-csv-columns-are-null":
+                pe = True
+            elif t == "-p":
+                if argv[i + 1] != "e":
+                    print(f"json-tool: Unknown option for -p{argv[i + 1]}",
+                          file=sys.stderr)
+                    return 1
+                pe = True
+                i += 1
+            elif t.startswith("-p") and len(t) > 2:
+                if t[2:] != "e":
+                    print(f"json-tool: Unknown option for -p{t[2:]}",
+                          file=sys.stderr)
+                    return 1
+                pe = True
+            elif t == "--spark-master":
+                spark_master = argv[i + 1]
+                i += 1
+            elif t.startswith("-") and t != "-":
+                print(f"Unexpected option {t}", file=sys.stderr)
+                return 1
+            else:
+                inputs.append(t)
+            i += 1
+    except IndexError:
+        print("json-tool: option requires an argument", file=sys.stderr)
+        return 1
+
+    out = sys.stdout.buffer
+    try:
+        if spark_master is not None and inputs:
+            from .session import get_spark
+
+            spark = get_spark(master=spark_master)
+            lines = jsontool_spark(spark, inputs, wrap=wrap, extract=extract,
+                                   csv_path=csv_path, pe=pe)
+        else:
+            csv_text = None
+            if csv_path is not None:
+                try:
+                    with open(csv_path, "r", encoding="utf-8",
+                              errors="surrogateescape") as f:
+                        csv_text = f.read()
+                except OSError as e:
+                    print(f"{csv_path}: {e.strerror}", file=sys.stderr)
+                    return 1
+
+            def read_inputs():
+                from .io.geojson import read_file_text
+
+                if not inputs:
+                    yield ("standard input", sys.stdin.read())
+                    return
+                for path in inputs:
+                    yield (path, read_file_text(path))
+
+            lines = run_jsontool_local(read_inputs(), wrap=wrap,
+                                       extract=extract, csv_text=csv_text,
+                                       pe=pe)
+        for line in lines:
+            out.write(line.encode("utf-8", "surrogatepass") + b"\n")
+        out.flush()
+    except JsonToolError as e:
+        out.flush()
+        print(str(e), file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"{e.filename}: {e.strerror}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "decode":
@@ -1061,6 +1166,8 @@ def main(argv=None) -> int:
         return join_main(argv[1:])
     if argv and argv[0] == "enumerate":
         return enumerate_main(argv[1:])
+    if argv and argv[0] == "json-tool":
+        return jsontool_main(argv[1:])
     return build_main(argv)
 
 

@@ -241,12 +241,16 @@ def stringify_value(value):
     return T_STRING, _stringify_compact(_canonicalize(value))
 
 
-def _lenient_objects(text: str):
+def _lenient_objects(text: str, loads=None):
     """Extract balanced JSON objects from a possibly-truncated stream,
     outermost-first, skipping objects nested inside an already-extracted
     one.  Mirrors jsonpull's behavior of processing each object the
     moment it completes (the enclosing unterminated object never
-    completes, so only inner complete objects are seen)."""
+    completes, so only inner complete objects are seen).  ``loads``
+    overrides the parser (io.jsontool passes its order-preserving
+    hooks)."""
+    if loads is None:
+        loads = _parse_json
     spans = []
     stack = []
     in_str = False
@@ -276,9 +280,9 @@ def _lenient_objects(text: str):
     for start, end, _depth in spans:
         if start >= last_end:
             try:
-                out.append(_parse_json(text[start:end]))
+                out.append(loads(text[start:end]))
                 last_end = end
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, ValueError):
                 continue
     return out
 
