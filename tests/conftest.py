@@ -59,7 +59,8 @@ def run_ours(input_path: str, options: str, layer: str | None = None) -> dict:
         from tippecanoe_spark.operators.guess import resolve_guesses
 
         resolve_guesses(feats, cfg, cfg.guess_maxzoom_flag,
-                        cfg.basezoom, cfg.droprate)
+                        cfg.basezoom, cfg.droprate,
+                        cfg.basezoom_marker_width)
     return build_tiles_local(feats, cfg)
 
 

@@ -531,3 +531,112 @@ def test_cli_errors():
     assert main(["in.json"]) == 2  # no output
     with pytest.raises(ValueError):
         main(["-o", "/tmp/x.mbtiles", "--definitely-not-an-option", "in.json"])
+
+
+@requires_reference
+def test_cli_multilayer_fixtures_match_reference(tmp_path):
+    """The reference's own multi-input fixtures: tests/multilayer
+    (-l merged vs per-file layers) and tests/named (-L named layers +
+    positional), at their goldens' option sets (Makefile:90-95)."""
+    from tippecanoe_spark.cli import main
+
+    ml = f"{REF_TESTS}/multilayer"
+    nd = f"{REF_TESTS}/named"
+    cases = [
+        ["-z3", "-l", "together", f"{ml}/lines.json", f"{ml}/places.json"],
+        ["-z3", "-n", "separate", f"{ml}/lines.json", f"{ml}/places.json"],
+        ["-z0", "-L", f"algeria:{nd}/alg", "-L", f"albania:{nd}/alb",
+         f"{nd}/sweden.json"],
+        ["-z0", "-L", f"algeria:{nd}/alg", "-L", f"albania:{nd}/alb",
+         "-l", "unified", f"{nd}/sweden.json"],
+    ]
+    for args in cases:
+        ref_out = tmp_path / "ref.mbtiles"
+        our_out = tmp_path / "ours.mbtiles"
+        subprocess.run([REFBIN, "-q", "-f", "-o", str(ref_out)] + args,
+                       check=True, capture_output=True)
+        rc = main(["-q", "-f", "--local-runner", "-o", str(our_out)] + args)
+        assert rc == 0
+        assert _read(str(ref_out)) == _read(str(our_out)), args
+        ref_out.unlink()
+        our_out.unlink()
+
+
+def _meta(path, exclude=("generator", "generator_options", "name",
+                         "description")):
+    import sqlite3
+
+    db = sqlite3.connect(path)
+    out = {k: v for k, v in db.execute("SELECT name, value FROM metadata")
+           if k not in exclude}
+    db.close()
+    return out
+
+
+@requires_reference
+def test_cli_layer_json_source(tmp_path):
+    """-L'{"file":..., "description":..., "layer":..., "format":...}'
+    JSON source specs (parse_json_source, main.cpp:2407-2446): named
+    layer + per-layer description into vector_layers, file "" = stdin,
+    format "csv" overrides the extension dispatch.  Mirrors the
+    reference Makefile's layer-json-test and csv-test (-L form)."""
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/ne_110m_populated_places/in.json"
+    ref_out, our_out = tmp_path / "ref.mbtiles", tmp_path / "ours.mbtiles"
+
+    # named file + description
+    spec = '{"file":"%s", "description":"World cities", "layer":"places"}' % src
+    subprocess.run([REFBIN, "-q", "-z0", "-r1", "-yNAME", "-f",
+                    "-o", str(ref_out), "-L" + spec],
+                   check=True, capture_output=True)
+    rc = main(["-q", "-z0", "-r1", "-yNAME", "-f", "--local-runner",
+               "-o", str(our_out), "-L" + spec])
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+    ref_meta, our_meta = _meta(str(ref_out)), _meta(str(our_out))
+    assert '"description": "World cities"' in our_meta["json"]
+    assert ref_meta == our_meta
+
+    # stdin + csv format override, through the Spark path
+    csv_src = f"{REF_TESTS}/csv/ne_110m_populated_places_simple.csv"
+    spec = '{"file":"", "format":"csv", "layer":"places_simple"}'
+    with open(csv_src, "rb") as fh:
+        subprocess.run([REFBIN, "-q", "-z2", "-f", "-o", str(ref_out),
+                        "-L" + spec], check=True, stdin=fh,
+                       capture_output=True)
+    import io
+    import sys as _sys
+
+    old = _sys.stdin
+    try:
+        _sys.stdin = io.TextIOWrapper(io.BytesIO(
+            open(csv_src, "rb").read()), encoding="utf-8")
+        rc = main(["-q", "-z2", "-f", "-o", str(our_out), "-L" + spec])
+    finally:
+        _sys.stdin = old
+    assert rc == 0
+    assert _read(str(ref_out)) == _read(str(our_out))
+    assert _meta(str(ref_out)) == _meta(str(our_out))
+
+
+@requires_reference
+def test_cli_attribution_name_center(tmp_path):
+    """-ANullIsland / -NNullIsland attached forms plus the 'center'
+    metadata: the busiest maxzoom tile is chosen by final drawvec op
+    count (write_tile's count, tile.cpp:549,2598-2613), not compressed
+    byte size — nullisland's z4 tie straddles Greenwich, so the wrong
+    metric flips the center's sign."""
+    from tippecanoe_spark.cli import main
+
+    src = f"{REF_TESTS}/nullisland/in.json"
+    ref_out, our_out = tmp_path / "ref.mbtiles", tmp_path / "ours.mbtiles"
+    for extra in (["-ANullIsland"], ["-NNullIsland"], []):
+        subprocess.run([REFBIN, "-q", "-f", "-b0", "-z4"] + extra +
+                       ["-o", str(ref_out), src],
+                       check=True, capture_output=True)
+        rc = main(["-q", "-f", "-b0", "-z4", "--local-runner"] + extra +
+                  ["-o", str(our_out), src])
+        assert rc == 0
+        assert _read(str(ref_out)) == _read(str(our_out))
+        assert _meta(str(ref_out)) == _meta(str(our_out)), extra

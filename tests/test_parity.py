@@ -118,6 +118,132 @@ CASES = [
     ("muni/muni.json", "muni", "--maximum-zoom 6 --base-zoom 5 --drop-rate 2 --prevent gf", True),
     ("tl_2018_51685_roads/in.json", "in", "--maximum-zoom 7 --simplification 4 --no-simplification-of-shared-nodes", True),
     ("polygon-winding/in.json", "in", "-z3 -c 'tee /dev/null'", True),
+    # r5 sweep: every reference fixture directory previously untouched
+    # by the parity suite, at its own golden's option set (live-binary
+    # A/B, stronger than the recorded goldens)
+    ("border/in.json", "in", "-z1 --detect-shared-borders", True),
+    ("coalesce-id/in.json", "in", "-z1 --coalesce --reorder", True),
+    ("curve/in.json", "in", "-z2", True),
+    ("curve/in.json", "in", "-z2 --no-clipping", True),
+    ("curve/in.json", "in", "-z2 --no-duplication", True),
+    ("dateline/in.json", "in", "-z5", True),
+    ("dateline/in.json", "in", "-z5 -b0", True),
+    ("empty-linestring/in.json", "in", "-ac", True),
+    ("geometry/bare.json", None, "-z3", True),
+    ("geometry/geometrycollection.json", None, "-z3", True),
+    ("id/in.json", "in", "-Z11", True),
+    ("islands/in.json", "in", "-d7 -z7 -pt -pp", True),
+    ("knox/in.json", "in", "-zg", True),
+    ("longattr/sherlock.json", "sherlock", "-z0", True),
+    ("longjson/sherlock.json", "sherlock", "-z0", True),
+    ("longlayer/in.json", None, "-z0", True),
+    ("loop/in.json", "in", "-z0 -O200 --cluster-densest-as-needed", True),
+    ("loop/in.json", "in", "-z0 -O200 --drop-densest-as-needed", True),
+    ("loop/in.json", "in", "-z0 -O200 --drop-fraction-as-needed", True),
+    ("nested/in.json", "in", "-z0 --preserve-input-order", True),
+    ("overflow/in.json", "in", "-z0", True),
+    ("overlap/in.json", "in", "-z0 --coalesce", True),
+    ("overlap/in.json", "in", "-z0 -pC", True),
+    ("stable/in.json", "in", "-z20 -Z20", True),
+    ("stable/in.json", "in", "-z3 -B0", True),
+    ("wraparound/in.json", "in", "-z5 --detect-longitude-wraparound", True),
+    ("wyalkatchem/in.json", "data", "-pk -pf -Z9 -z12 -ldata", True),
+    ("tl_2015_us_county/piscataquis.json", None, "-z8", True),
+    ("coalesce-tract/tl_2010_06075_tract10.json", None,
+     "-z11 -Z11 -y STATEFP10 -y COUNTYFP10", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z4 -yname --drop-polygons", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z4 -yname --grid-low-zooms -D8", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in", "-z3 -ai", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in", "-R5/17/11", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z5 -M5000 --coalesce-densest-as-needed", True),
+    ("ne_110m_admin_1_states_provinces_lines/in.json", "in", "-X -z4", True),
+    ("ne_110m_admin_1_states_provinces_lines/in.json", "in",
+     "-Z1 -z7 -b4 -xfeaturecla -xscalerank -acrol -ps", True),
+    ("ne_110m_populated_places/in.json", "in", "-yNAME -z5 -r1.5", True),
+    ("ne_110m_populated_places/in.json", "in", "-zg -K20 -r1 -yNAME", True),
+    ("ne_110m_populated_places/in.json", "in",
+     "-z0 -r1 -yNAME -ySOV0NAME -yELEVATION -YNAME:City -YSOV0NAME:Country",
+     True),
+    ("ne_110m_populated_places/in.json", "in",
+     "-r1 -z8 -J /root/reference/tests/feature-filter/places-filter", True),
+    # r5 sweep wave 2: the remaining golden option sets (every config
+    # encoded in /root/reference/tests/*/out/*.json not yet above,
+    # minus multi-input -L/-n cases which live in tests/test_cli.py)
+    ("accumulate/in.json", "in",
+     "-z5 -Ethesum:sum -Etheproduct:product -Ethemax:max -Ethemin:min "
+     "-Ethemean:mean -Etheconcat:concat -Ethecomma:comma", True),
+    ("accumulate/in.json", "in",
+     "-z3 -Ethesum:sum -Etheproduct:product -Ethemax:max -Ethemin:min "
+     "-Ethemean:mean -Etheconcat:concat -Ethecomma:comma -r1 -K100", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -B15", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -Bf2000", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -rf2000", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -rf2000 -Bg", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -rf2000 -g2", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -M10000 -aG", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -M10000 -ad", True),
+    ("muni/muni.json", "muni", "-Z11 -z13 -M5000 -as", True),
+    ("muni/muni.json", "muni", "-r1 -K20", True),
+    ("muni/muni.json", "muni", "-z0 --coalesce --reorder", True),
+    ("muni/muni.json", "muni", "-z1 -Z1 -ao -P", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in", "--coalesce -z2 -C cat", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-ae -zg -M5000 --drop-densest-as-needed", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-ae -zg -M5000 --drop-fraction-as-needed", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-ae -zg -M5000 --drop-smallest-as-needed", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in", "-z4 -yname -pD", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in", "-z4 -yname -S4", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z4 -yname --no-tiny-polygon-reduction", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z5 -M5000 --coalesce-fraction-as-needed", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z5 -M5000 --coalesce-smallest-as-needed", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z5 -M5000 --drop-smallest-as-needed", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in", "-zg -yname", True),
+    ("ne_110m_admin_0_countries/in.json.gz", "in",
+     "-z0 --clip-bounding-box -110,27,-92,52", True),
+    ("ne_110m_admin_1_states_provinces_lines/in.json", "in",
+     "-z5 -M500 --drop-smallest-as-needed", True),
+    ("ne_110m_admin_1_states_provinces_lines/in.json", "in",
+     "-z5 -ymapcolor13 -ymapcolor9 -pSi -d8 -D16", True),
+    ("ne_110m_populated_places/in.json", "in", "-yNAME -z5 -B3", True),
+    ("ne_110m_populated_places/in.json", "in",
+     "-yNAME -z5 --drop-smallest-as-needed", True),
+    ("ne_110m_populated_places/in.json", "in",
+     "-yNAME -z4 -C /root/reference/tests/filter/rename "
+     "-c /root/reference/tests/filter/rename2", True),
+    ("ne_110m_populated_places/in.json", "in", "-yNAME -z5 -c cat", True),
+    ("ne_110m_populated_places/in.json", "in", "-yNAME -C cat -z5", True),
+    ("ne_110m_populated_places/in.json", "in",
+     "-z0 -C /root/reference/tests/filter/null", True),
+    ("nullisland/in.json", "in", "-b0 -z4", True),
+    ("polygon-winding/in.json", "in",
+     "-z0 --reverse-source-polygon-winding", True),
+    ("polygon-winding/in.json", "in",
+     "-z0 --use-source-polygon-winding", True),
+    ("stringid/in.json", "in", "-z0 --use-attribute-for-id special", True),
+    ("stringid/in.json", "in", "-z0 --use-attribute-for-id special -X", True),
+    ("stringid/in.json", "in",
+     "-z0 --use-attribute-for-id special -xspecial", True),
+    ("stringid/in.json", "in",
+     "-z0 --use-attribute-for-id special -yother", True),
+    ("stringid/in.json", "in", "-z0 -aI", True),
+    ("stringid/in.json", "in", "-z0 -aI --use-attribute-for-id special", True),
+    ("tl_2015_us_county/piscataquis.json", None, "-z8 -pp", True),
+    ("highzoom/in.json", "in", "-z30", True),
+    ("high-longitude/in.json", "in", "-z1", True),
+    ("multilinestring/in.json", "in", "-z1", True),
+    ("knox/in.json", "in", "-zg -P", True),
+    ("coalesce-tract/tl_2010_06075_tract10.json", None,
+     "-P --coalesce --reorder -z11 -Z11 -y STATEFP10 -y COUNTYFP10", True),
+    ("muni/muni.json", "muni", "-Z11 -z11 --prefer-radix-sort", True),
 ]
 
 

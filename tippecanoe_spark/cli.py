@@ -181,6 +181,24 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.droprate = -2.0
             i += 1
             continue
+        # -Bg<w>/-Bf<n> and -rg<w>/-rf<n>: guess basezoom/droprate with
+        # an explicit marker width (f<n> = sqrt(50000/n) feature-count
+        # form; main.cpp:2767-2790, 2877-2894)
+        if t[:3] in ("-Bg", "-Bf", "-rg", "-rf") and len(t) > 3:
+            import math as _math
+
+            v = float(t[3:])
+            if v <= 0:
+                raise ValueError(f"Must specify value >0 with {t[:3]}")
+            cfg.basezoom_marker_width = v if t[2] == "g" \
+                else _math.sqrt(50000 / v)
+            if t[1] == "B":
+                cfg.basezoom = -2
+                explicit_basezoom = True
+            else:
+                cfg.droprate = -2.0
+            i += 1
+            continue
         if t == "-z" or t.startswith("-z") and t[2:].isdigit():
             cfg.maxzoom = int(toks[i + 1]) if t == "-z" else int(t[2:])
             i += 2 if t == "-z" else 1
@@ -230,14 +248,18 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.simplification = float(toks[i + 1]) if t == "-S" else float(t[2:])
             i += 2 if t == "-S" else 1
             continue
-        if t == "-E" or t == "--accumulate-attribute":
-            name, op = toks[i + 1].split(":")
+        if t == "-E" or t == "--accumulate-attribute" \
+                or (t.startswith("-E") and len(t) > 2):
+            name, op = (t[2:] if len(t) > 2 and t != "--accumulate-attribute"
+                        else toks[i + 1]).split(":")
             cfg.accumulate[name] = op
-            i += 2
+            i += 1 if (t.startswith("-E") and len(t) > 2) else 2
             continue
-        if t == "-x" or t == "--exclude":
-            cfg.exclude.add(toks[i + 1])
-            i += 2
+        if t == "-x" or t == "--exclude" \
+                or (t.startswith("-x") and len(t) > 2 and not t.startswith("--")):
+            cfg.exclude.add(t[2:] if t.startswith("-x") and len(t) > 2
+                            else toks[i + 1])
+            i += 1 if (t.startswith("-x") and len(t) > 2) else 2
             continue
         if t == "-y" or t == "--include" or (t.startswith("-y") and len(t) > 2):
             cfg.exclude_all = True
@@ -300,19 +322,38 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.use_attribute_for_id = toks[i + 1]
             i += 2
             continue
-        if t == "-R" or t == "--one-tile":
-            zs, xs_, ys_ = toks[i + 1].split("/")
+        if t == "-R" or t == "--one-tile" \
+                or (t.startswith("-R") and len(t) > 2 and "/" in t):
+            attached = t.startswith("-R") and len(t) > 2
+            zs, xs_, ys_ = (t[2:] if attached else toks[i + 1]).split("/")
             cfg.minzoom = cfg.maxzoom = int(zs)  # main.cpp:2752-2758
             cfg.one_tile = (int(xs_), int(ys_))
-            i += 2
+            i += 1 if attached else 2
             continue
-        if t == "-Y" or t == "--attribute-description":
-            name, desc = toks[i + 1].split(":", 1)
+        if t == "-Y" or t == "--attribute-description" \
+                or (t.startswith("-Y") and len(t) > 2):
+            attached = t.startswith("-Y") and len(t) > 2 \
+                and t != "--attribute-description"
+            name, desc = (t[2:] if attached else toks[i + 1]).split(":", 1)
             cfg.attribute_descriptions[name] = desc
-            i += 2
+            i += 1 if attached else 2
+            continue
+        if t == "-l" or t == "--layer" \
+                or (t.startswith("-l") and len(t) > 2 and not t.startswith("--")):
+            # engine-level in the full CLI (_split_args); accepted here
+            # too so an options string parsed standalone round-trips
+            cfg.layer_name = (t[2:] if t.startswith("-l") and len(t) > 2
+                              else toks[i + 1])
+            i += 1 if (t.startswith("-l") and len(t) > 2) else 2
             continue
         if t == "--no-tile-stats":
             cfg.no_tilestats = True
+            i += 1
+            continue
+        if t in ("-P", "--read-parallel"):
+            # read-parallel: our sharded read is seq-deterministic and
+            # partition-invariant regardless (io/geojson.py:115), so the
+            # flag is an accepted no-op
             i += 1
             continue
         if t in ("--tile-stats-attributes-limit",
@@ -340,6 +381,17 @@ def options_to_config(options, maxzoom_default: int = 14):
             i += 1
             continue
         raise ValueError(f"unsupported option: {t}")
+    # "Highest supported zoom" clamps (main.cpp:3085-3110): detail-based
+    # caps only without -zg; the MAX_ZOOM=24 cap unconditionally
+    if cfg.low_detail < cfg.min_detail:
+        cfg.min_detail = cfg.low_detail
+    if not cfg.guess_maxzoom_flag:
+        if cfg.maxzoom > 32 - cfg.full_detail:
+            cfg.maxzoom = 32 - cfg.full_detail
+        if cfg.maxzoom > 33 - cfg.low_detail:
+            cfg.maxzoom = 33 - cfg.low_detail
+    if cfg.maxzoom > 24:
+        cfg.maxzoom = 24
     if not explicit_basezoom:
         if cfg.guess_maxzoom_flag:
             cfg.basezoom = -1  # resolved after guessing
@@ -362,7 +414,35 @@ def _split_args(argv):
     eng = {"inputs": [], "force": False, "quiet": False, "local": False,
            "output": None, "outdir": None, "layer": None, "name": None,
            "description": None, "master": None, "attribution": None,
-           "named_layers": {}, "allow_existing": False}
+           "named_layers": {}, "allow_existing": False,
+           "layer_descriptions": {}, "formats": {}}
+
+    def _json_source(arg):
+        # -L'{"file":..., "layer":..., "description":..., "format":...}'
+        # (parse_json_source, main.cpp:2407-2446); file "" = stdin
+        import json as _json
+
+        try:
+            o = _json.loads(arg)
+        except ValueError as e:
+            raise ValueError(f"-L{arg}: {e}")
+        if not isinstance(o, dict):
+            raise ValueError(f"-L{arg}: not a JSON object")
+        path = o.get("file")
+        if not isinstance(path, str):
+            raise ValueError(f'-L{arg}: requires "file": filename')
+        lname = o.get("layer")
+        if not isinstance(lname, str):
+            # stdin with no name -> unknown<index> (main.cpp:1296-1298)
+            lname = None if path else f"unknown{len(eng['inputs'])}"
+        if lname is not None:
+            eng["named_layers"][path] = lname
+            if isinstance(o.get("description"), str):
+                eng["layer_descriptions"][lname] = o["description"]
+        if isinstance(o.get("format"), str):
+            eng["formats"][path] = o["format"]
+        eng["inputs"].append(path)
+
     rest = []
     i = 0
     while i < len(argv):
@@ -383,10 +463,16 @@ def _split_args(argv):
             eng["layer"] = t[2:]
             i += 1
         elif t in ("-L", "--named-layer"):
-            name, path = argv[i + 1].split(":", 1)
-            eng["named_layers"][path] = name
-            eng["inputs"].append(path)
+            if argv[i + 1].lstrip().startswith("{"):
+                _json_source(argv[i + 1])
+            else:
+                name, path = argv[i + 1].split(":", 1)
+                eng["named_layers"][path] = name
+                eng["inputs"].append(path)
             i += 2
+        elif t.startswith("-L") and len(t) > 2 and t[2:].lstrip().startswith("{"):
+            _json_source(t[2:])
+            i += 1
         elif t.startswith("-L") and len(t) > 2 and ":" in t:
             name, path = t[2:].split(":", 1)
             eng["named_layers"][path] = name
@@ -395,12 +481,21 @@ def _split_args(argv):
         elif t in ("-A", "--attribution"):
             eng["attribution"] = argv[i + 1]
             i += 2
+        elif t.startswith("-A") and len(t) > 2 and not t.startswith("--"):
+            eng["attribution"] = t[2:]
+            i += 1
         elif t in ("-n", "--name"):
             eng["name"] = argv[i + 1]
             i += 2
+        elif t.startswith("-n") and len(t) > 2 and not t.startswith("--"):
+            eng["name"] = t[2:]
+            i += 1
         elif t in ("-N", "--description"):
             eng["description"] = argv[i + 1]
             i += 2
+        elif t.startswith("-N") and len(t) > 2 and not t.startswith("--"):
+            eng["description"] = t[2:]
+            i += 1
         elif t == "--spark-master":
             eng["master"] = argv[i + 1]
             i += 2
@@ -502,12 +597,42 @@ def _file_bbox_spark(spark, paths, cfg, layer):
 def build_main(argv) -> int:
     eng, rest = _split_args(argv)
     cfg = options_to_config(rest)
-    if not eng["inputs"]:
-        print("no input files", file=sys.stderr)
-        return 2
+    # the output check precedes any input read — the reference opens
+    # outdb before read_input (main.cpp:3136-3183), so a missing -o
+    # errors without consuming stdin
     if eng["output"] is None and eng["outdir"] is None:
         print("need -o out.mbtiles or -e out_dir", file=sys.stderr)
         return 2
+    if not eng["inputs"]:
+        # no sources -> read a GeoJSON stream from stdin
+        # (main.cpp:3168-3172; layer falls back to unknown0)
+        eng["inputs"].append("")
+        if eng["layer"] is None:
+            eng["layer"] = "unknown0"
+
+    # materialize stdin sources and -L'{"format":...}' overrides as
+    # real paths whose extension drives the per-file format dispatch
+    # (features_from_file); symlinks keep named files zero-copy
+    import tempfile as _tempfile
+
+    for idx, p in enumerate(list(eng["inputs"])):
+        fmt = eng["formats"].get(p)
+        if p == "":
+            sfx = ".csv" if fmt == "csv" else ".json"
+            tf = _tempfile.NamedTemporaryFile(
+                "w", suffix=sfx, delete=False, prefix="stdin-")
+            tf.write(sys.stdin.read())
+            tf.close()
+            newp = tf.name
+        elif fmt == "csv" and not p.endswith(".csv"):
+            d = _tempfile.mkdtemp(prefix="tippecanoe-fmt-")
+            newp = os.path.join(d, os.path.basename(p) + ".csv")
+            os.symlink(os.path.abspath(p), newp)
+        else:
+            continue
+        eng["inputs"][idx] = newp
+        if p in eng["named_layers"]:
+            eng["named_layers"][newp] = eng["named_layers"][p]
 
     # existing-tileset guard (mbtiles.cpp:48, dirtiles.cpp:75): without
     # -f (delete first) or -F (write into the existing tables/dir),
@@ -525,8 +650,8 @@ def build_main(argv) -> int:
     from .operators.stats import build_metadata
     from .pipeline import build_tiles_local
 
-    name = eng["name"] or os.path.basename(
-        eng["output"] or eng["outdir"] or "out")
+    # -n name, else the -o / -e path exactly as given (main.cpp:3183)
+    name = eng["name"] or eng["output"] or eng["outdir"] or "out"
 
     # per-file layer names: --named-layer beats --layer beats filename
     def layer_arg():
@@ -555,10 +680,12 @@ def build_main(argv) -> int:
             from .operators.guess import resolve_guesses
 
             resolve_guesses(feats, cfg, cfg.guess_maxzoom_flag,
-                            cfg.basezoom, cfg.droprate)
+                            cfg.basezoom, cfg.droprate,
+                            cfg.basezoom_marker_width)
         tiles = build_tiles_local(feats, cfg)
         meta = build_metadata(feats, tiles, cfg, name=name,
-                              description=eng["description"])
+                              description=eng["description"],
+                              layer_descriptions=eng["layer_descriptions"])
     else:
         from .io.geojson import geojson_files_df
         from .operators.stats import collect_layer_stats_spark
@@ -581,7 +708,8 @@ def build_main(argv) -> int:
                 from .operators.guess import resolve_guesses_spark
 
                 resolve_guesses_spark(df, cfg, cfg.guess_maxzoom_flag,
-                                      cfg.basezoom, cfg.droprate)
+                                      cfg.basezoom, cfg.droprate,
+                                      cfg.basezoom_marker_width)
             layers = collect_layer_stats_spark(df, cfg)
             file_bbox = _file_bbox_spark(spark, eng["inputs"], parse_cfg, la)
             tiles_df = build_tiles(spark, df, cfg)
@@ -614,7 +742,7 @@ def build_main(argv) -> int:
                     tiles_df.count()
                     n_tiles, busiest = write_mbtiles_stream(
                         eng["output"],
-                        ((r["z"], r["x"], r["y"], r["tile"])
+                        ((r["z"], r["x"], r["y"], r["tile"], r["gops"])
                          for r in tiles_df.toLocalIterator()),
                         maxzoom=cfg.maxzoom)
                 finally:
@@ -631,7 +759,8 @@ def build_main(argv) -> int:
         meta = build_metadata([], {}, cfg, name=name,
                               description=eng["description"],
                               layers=layers, file_bbox=file_bbox,
-                              busiest=busiest)
+                              busiest=busiest,
+                              layer_descriptions=eng["layer_descriptions"])
         if eng["attribution"]:
             meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359
         if eng["output"]:

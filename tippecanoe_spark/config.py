@@ -16,6 +16,9 @@ class TileConfig:
     maxzoom: int = 14          # -z      (main.cpp:2466)
     basezoom: int = -1         # -B      (defaults to maxzoom, main.cpp:3075)
     droprate: float = 2.5      # -r      (main.cpp:2472)
+    # -Bg<w>/-rg<w> marker width; -Bf<n>/-rf<n> store sqrt(50000/n)
+    # (main.cpp:2767-2790, 2877-2894)
+    basezoom_marker_width: float = 1.0
     gamma: float = 0.0         # -g
     buffer: int = 5            # -b      (main.cpp:2474)
     full_detail: int = 12      # -d      (main.cpp:3081)

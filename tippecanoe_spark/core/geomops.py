@@ -246,9 +246,11 @@ def remove_noop(op, x, y, t: int, shift: int = 0):
     return op, x, y
 
 
-def fix_polygon(op, x, y):
+def fix_polygon(op, x, y, winding=0):
     """Close rings and fix winding (outer CCW-positive in grid coords) —
-    geometry.cpp:900-976 with default winding options."""
+    geometry.cpp:900-976.  winding: 0 = area-based (default), 1 = always
+    reverse (-pw, P_USE_SOURCE_POLYGON_WINDING), -1 = never reverse
+    (-pW, P_REVERSE_SOURCE_POLYGON_WINDING); geometry.cpp:931-943."""
     out_op, out_x, out_y = [], [], []
     outer = True
     n = len(op)
@@ -279,7 +281,7 @@ def fix_polygon(op, x, y):
             b = (a + 1) % n_r
             a2 += int(rx[a]) * int(ry[b]) - int(ry[a]) * int(rx[b])
         area = a2 / 2.0
-        if (area > 0) != outer:
+        if winding > 0 or (winding == 0 and (area > 0) != outer):
             rx.reverse()
             ry.reverse()
         out_op.extend([OP_MOVETO] + [OP_LINETO] * (len(rx) - 1))

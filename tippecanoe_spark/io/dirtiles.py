@@ -139,7 +139,9 @@ def write_dirtiles_spark(tiles_df, outdir: str, force: bool = False,
             _os.replace(tmp, p)  # atomic; idempotent under retry
             nonlocal_n += 1
             if maxzoom is not None and z == maxzoom:
-                sz = len(data)
+                # busiest metric = final drawvec op count when present
+                # (write_tile's count, tile.cpp:549)
+                sz = int(r["gops"]) if "gops" in r else len(data)
                 if sz > best[0] or (sz == best[0]
                                     and ((x << 32) | y) < ((best[1] << 32) | best[2])):
                     best = (sz, x, y)

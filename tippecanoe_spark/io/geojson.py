@@ -397,32 +397,76 @@ def feature_records(text: str, layer: str, cfg: TileConfig, seq_start: int = 0):
 
     feats = []
 
-    def walk(o):
-        if not isinstance(o, dict):
+    # jsonpull stream semantics (geojson-loop.cpp:34-190): json_read
+    # surfaces EVERY object bottom-up as it completes, so Features and
+    # bare geometries are recognized at ANY nesting depth, in post-order.
+    # Exclusion rules evaluate the parent's keys AS PARSED SO FAR (keys
+    # after the candidate in document order don't exist yet), and bare
+    # geometries are only recognized until the first Feature is seen
+    # (found_features gate, per input file).
+    state = {"features": 0}
+
+    def visit(node, parent_kind, parent_keys, pp_kind, pp_keys, under_props):
+        if isinstance(node, list):
+            for v in node:
+                visit(v, "array", None, parent_kind, parent_keys, under_props)
             return
-        t = o.get("type")
-        if t == "FeatureCollection":
-            for f in o.get("features", []):
-                walk(f)
-        elif t == "Feature":
-            geom = o.get("geometry")
-            if geom is None:
+        if not isinstance(node, dict):
+            return
+        seen = []
+        for k, v in node.items():
+            visit(v, "hash", seen + [k], parent_kind, parent_keys,
+                  under_props or k == "properties")
+            seen.append(k)
+        t = node.get("type")
+        if not isinstance(t, str):
+            return
+        if state["features"] == 0 and t in GEOM_NAMES:
+            is_geom = True
+            if parent_kind == "array":
+                # part of a GeometryCollection (geojson-loop.cpp:77-85)
+                if pp_kind == "hash" and "geometries" in pp_keys:
+                    is_geom = False
+            elif parent_kind == "hash":
+                # a Feature's (or sibling of a) geometry member
+                if "geometry" in parent_keys:
+                    is_geom = False
+            if is_geom and under_props:
+                is_geom = False
+            if is_geom:
+                feats.append(({"type": "Feature", "properties": {},
+                               "geometry": node}, node))
                 return
-            if geom.get("type") == "GeometryCollection":
-                for sub in geom.get("geometries", []):
-                    feats.append((dict(o, geometry=sub), sub))
-            else:
-                feats.append((o, geom))
-        elif t in GEOM_NAMES:
-            feats.append(({"type": "Feature", "properties": {}, "geometry": o}, o))
+        if t != "Feature":
+            return
+        # found_features increments BEFORE the validity checks
+        # (geojson-loop.cpp:133) — even a malformed Feature disables
+        # bare-geometry recognition for the rest of the file
+        state["features"] += 1
+        geom = node.get("geometry")
+        if geom is None or not isinstance(geom, dict):
+            return
+        if "properties" not in node:
+            return
+        props = node["properties"]
+        if props is not None and not isinstance(props, dict):
+            return
+        if under_props:
+            return
+        geometries = geom.get("geometries")
+        if isinstance(geometries, list):
+            for sub in geometries:
+                feats.append((dict(node, geometry=sub), sub))
+        else:
+            feats.append((node, geom))
 
     for o in objs:
-        walk(o)
+        visit(o, None, None, None, None, False)
 
     out = []
     seq = seq_start
     for fobj, geom in feats:
-        gt = geom.get("type")
+        gt = geom.get("type") if isinstance(geom, dict) else None
         if gt not in GEOM_NAMES:
             seq += 1
             continue
@@ -467,6 +511,39 @@ def feature_records(text: str, layer: str, cfg: TileConfig, seq_start: int = 0):
     return out
 
 
+def _winding_mode(cfg) -> int:
+    """-pw / -pW → fix_polygon's winding override (geometry.cpp:931-943)."""
+    if cfg.use_source_polygon_winding:
+        return 1
+    if cfg.reverse_source_polygon_winding:
+        return -1
+    return 0
+
+
+def _strtoull10(s: str):
+    """C strtoull(s, &err, 10): (value with ERANGE saturation and
+    unsigned negation wrap, err-consumed-everything).  value is None
+    when no digits converted."""
+    i = 0
+    while i < len(s) and s[i] in " \t\n\r\x0b\x0c":
+        i += 1
+    neg = False
+    if i < len(s) and s[i] in "+-":
+        neg = s[i] == "-"
+        i += 1
+    start = i
+    while i < len(s) and "0" <= s[i] <= "9":
+        i += 1
+    if i == start:
+        return None, False
+    mag = int(s[start:i])
+    if mag > (1 << 64) - 1:
+        v = (1 << 64) - 1
+    else:
+        v = ((1 << 64) - mag) % (1 << 64) if neg else mag
+    return v, i == len(s)
+
+
 def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
                    keys, vtypes, values, cfg: TileConfig):
     """serialize_feature semantics (serial.cpp:403-704) for one feature.
@@ -491,6 +568,20 @@ def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
     gs = cfg.geometry_scale
     pt = ~cp
 
+    # --detect-longitude-wraparound (scale_geometry, serial.cpp:333-347):
+    # walk MOVETO/LINETO vertices in order carrying a 2^32 longitude
+    # offset; a >2^31 jump from the previous vertex shifts this and all
+    # later vertices by one world width.  The offset cancels inside the
+    # jump comparison (x - prev == raw[i] - raw[i-1]), so the scan is a
+    # cumulative sum over raw diffs.
+    if cfg.detect_wraparound and pt.any():
+        raw = xs[pt].astype(np.int64)
+        d = np.diff(raw)
+        step = np.zeros(len(raw), dtype=np.int64)
+        step[1:][d > (1 << 31)] = -(1 << 32)
+        step[1:][d < -(1 << 31)] = 1 << 32
+        xs[pt] = raw + np.cumsum(step)
+
     # full-resolution bbox BEFORE snapping (scale_geometry, serial.cpp:322-390)
     if pt.any():
         bbox = [int(xs[pt].min()), int(ys[pt].min()), int(xs[pt].max()), int(ys[pt].max())]
@@ -514,7 +605,7 @@ def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
             ys = (((ys + C) >> gs) << gs) - C
 
     if t == g.VT_POLYGON:
-        ops, xs, ys = g.fix_polygon(ops, xs, ys)
+        ops, xs, ys = g.fix_polygon(ops, xs, ys, winding=_winding_mode(cfg))
 
     for (cminx, cminy, cmaxx, cmaxy) in cfg.clip_bboxes:
         sminx, sminy = shift_left(shift_right(cminx, gs), gs), shift_left(shift_right(cminy, gs), gs)
@@ -567,29 +658,31 @@ def import_feature(raw_pts, t, layer, seq, has_id, fid, tp_minzoom, tp_maxzoom,
     # by cfg.uses_index; the tiler applies that gate.
     ix = int(bbox_index(bbox[0], bbox[1], bbox[2], bbox[3], cfg.use_hilbert)[()])
 
-    # attribute include/exclude (serial.cpp:630-641)
+    # per-attribute pass (serial.cpp:590-641): coerce, then
+    # --use-attribute-for-id extraction (which ERASES the attribute and
+    # bypasses include/exclude), then include/exclude filtering
     fkeys, fvtypes, fvalues = [], [], []
     for k, vt, sv in zip(keys, vtypes, values):
+        vt, sv = coerce_value(k, vt, sv, cfg.attribute_types)
+        if k == cfg.use_attribute_for_id:
+            # id must parse like strtoull + round-trip via
+            # to_string(long long) == strip_zeroes(s)
+            # (serial.cpp:593-627); non-double types only with -aI
+            if vt == T_DOUBLE or cfg.convert_stringified_ids:
+                v, consumed = _strtoull10(sv)
+                if v is not None and consumed:
+                    signed = v - (1 << 64) if v >= (1 << 63) else v
+                    if str(signed) == sv.lstrip("0"):
+                        has_id, fid = True, v
+                        continue  # erased from properties
         if cfg.exclude_all:
             if k not in cfg.include:
                 continue
         elif k in cfg.exclude:
             continue
-        vt, sv = coerce_value(k, vt, sv, cfg.attribute_types)
         fkeys.append(k)
         fvtypes.append(vt)
         fvalues.append(sv)
-
-    if cfg.use_attribute_for_id is not None:
-        for k, vt, sv in zip(fkeys, fvtypes, fvalues):
-            if k == cfg.use_attribute_for_id:
-                try:
-                    v = int(float(sv))
-                    if v >= 0 and float(sv) == v:
-                        has_id, fid = True, v
-                except ValueError:
-                    pass
-                break
 
     return {
         "layer": layer,

@@ -28,8 +28,10 @@ def write_mbtiles_stream(path: str, tile_iter, maxzoom: int | None = None):
     stream IS the scalable shape; tile production stays distributed).
 
     Returns (n_tiles, (midx, midy)): the count and the busiest tile at
-    ``maxzoom`` by compressed size, ties to the smaller packed (x, y)
-    (tile.cpp:2598-2613) — accumulated during the stream so metadata can
+    ``maxzoom`` by final drawvec op count when the tuples carry a 5th
+    element (write_tile's count, tile.cpp:549) — compressed size as the
+    fallback metric — ties to the smaller packed (x, y)
+    (tile.cpp:2598-2613), accumulated during the stream so metadata can
     be written afterwards without holding the tileset."""
     db = sqlite3.connect(path)
     cur = db.cursor()
@@ -44,7 +46,8 @@ def write_mbtiles_stream(path: str, tile_iter, maxzoom: int | None = None):
     n = 0
     most = 0
     midx = midy = 0
-    for z, x, y, data in tile_iter:
+    for row in tile_iter:
+        z, x, y, data = row[:4]
         data = bytes(data)
         cur.execute(
             "INSERT INTO tiles (zoom_level, tile_column, tile_row, tile_data) VALUES (?, ?, ?, ?)",
@@ -52,7 +55,7 @@ def write_mbtiles_stream(path: str, tile_iter, maxzoom: int | None = None):
         )
         n += 1
         if maxzoom is not None and z == maxzoom:
-            sz = len(data)
+            sz = row[4] if len(row) > 4 else len(data)
             if sz > most or (sz == most and ((x << 32) | y) < ((midx << 32) | midy)):
                 midx, midy, most = x, y, sz
     db.commit()

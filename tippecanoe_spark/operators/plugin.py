@@ -354,7 +354,9 @@ def parse_prefilter_features(text: str, z: int, tx: int, ty: int, cfg):
         ops, xs, ys = pg
         t = MB_GEOMETRY[gtype]
         if t == g.VT_POLYGON:
-            ops, xs, ys = g.fix_polygon(ops, xs, ys)
+            from ..io.geojson import _winding_mode
+
+            ops, xs, ys = g.fix_polygon(ops, xs, ys, winding=_winding_mode(cfg))
         # snap to the geometry_scale grid via double round (plugin.cpp:382)
         xs = np.asarray([int(_c_round(int(v) / scale) * scale) - sx for v in xs],
                         dtype=np.int64)
@@ -521,7 +523,9 @@ def postfilter_tile(tile, z, tx, ty, extent, cfg):
         ops, xs, ys = pg
         t = MB_GEOMETRY[gtype]
         if t == g.VT_POLYGON:
-            ops, xs, ys = g.fix_polygon(ops, xs, ys)
+            from ..io.geojson import _winding_mode
+
+            ops, xs, ys = g.fix_polygon(ops, xs, ys, winding=_winding_mode(cfg))
         # scale/offset world -> tile coords (plugin.cpp:192-196)
         xs = np.asarray([int(_c_round((int(v) - scale * tx) * extent / scale))
                          for v in xs], dtype=np.int64)

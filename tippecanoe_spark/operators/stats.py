@@ -311,11 +311,16 @@ def tilestats_write(layers: dict, w: JsonWriter) -> None:
 
 def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
                         do_tilestats: bool = True,
-                        attribute_descriptions: dict | None = None) -> str:
+                        attribute_descriptions: dict | None = None,
+                        layer_descriptions: dict | None = None) -> str:
     """The 'json' metadata value (mbtiles.cpp:404-531): vector_layers +
     tilestats.  attribute_descriptions (-Y name:desc) replaces the
-    derived type string for named fields (mbtiles.cpp:442-460)."""
+    derived type string for named fields (mbtiles.cpp:442-460);
+    layer_descriptions carries -L'{"description":...}' source
+    descriptions into the per-layer block (main.cpp:1309,
+    mbtiles.cpp:421-422)."""
     descs = attribute_descriptions or {}
+    ldescs = layer_descriptions or {}
     w = JsonWriter()
     w.write_hash()
     w.nospace = True
@@ -327,7 +332,7 @@ def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
         w.write_string("id")
         w.write_string(name)
         w.write_string("description")
-        w.write_string("")
+        w.write_string(ldescs.get(name, ""))
         w.write_string("minzoom")
         w.write_signed(minzoom)
         w.write_string("maxzoom")
@@ -367,16 +372,19 @@ def metadata_json_field(layers: dict, minzoom: int, maxzoom: int,
 
 def build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
                    description: str | None = None, layers: dict | None = None,
-                   file_bbox=None, busiest=None) -> dict:
+                   file_bbox=None, busiest=None,
+                   layer_descriptions: dict | None = None) -> dict:
     # scoped --tile-stats-*-limit overrides for both the collection and
     # the tilestats JSON writer below
     with _tilestats_limits(resolve_tilestats_limits(cfg)):
         return _build_metadata(features, tiles, cfg, name, description,
-                               layers, file_bbox, busiest)
+                               layers, file_bbox, busiest,
+                               layer_descriptions)
 
 
 def _build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
-                    description, layers, file_bbox, busiest) -> dict:
+                    description, layers, file_bbox, busiest,
+                    layer_descriptions=None) -> dict:
     """Full metadata dict for write_mbtiles (main.cpp:2297-2334).
 
     ``busiest``: optional (midx, midy) of the biggest maxzoom tile,
@@ -399,17 +407,21 @@ def _build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
     miny = max(miny, 0)
     maxy = min(maxy, (1 << 32) - 1)
 
-    # busiest maxzoom tile by compressed byte size, ties to the smaller
-    # packed (x, y) (tile.cpp:2598-2613)
+    # busiest maxzoom tile by final drawvec op count (write_tile's
+    # count, tile.cpp:549), ties to the smaller packed (x, y)
+    # (tile.cpp:2598-2613); byte size only as a legacy fallback when
+    # the tiles dict carries no op counts
     if busiest is not None:
         midx, midy = busiest
     else:
+        gops = getattr(tiles, "geom_ops", None)
         most = 0
         midx = midy = 0
         for (z, x, y) in sorted(tiles):
             if z != cfg.maxzoom:
                 continue
-            n = len(tiles[(z, x, y)])
+            n = (gops[(z, x, y)] if gops is not None
+                 else len(tiles[(z, x, y)]))
             if n > most:
                 midx, midy, most = x, y, n
             elif n == most and ((x << 32) | y) < ((midx << 32) | midy):
@@ -437,7 +449,8 @@ def _build_metadata(features, tiles: dict, cfg: TileConfig, name: str,
         "json": metadata_json_field(
             layers, cfg.minzoom, cfg.maxzoom,
             do_tilestats=not cfg.no_tilestats,
-            attribute_descriptions=cfg.attribute_descriptions),
+            attribute_descriptions=cfg.attribute_descriptions,
+            layer_descriptions=layer_descriptions),
     }
 
 

@@ -190,7 +190,7 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
 
     stats = {"gamma_out": 0.0, "mingap_out": 0, "minextent_out": 0,
              "fraction_out": 1.0, "still_dropping": False, "features": 0,
-             "indices": [], "extents": []}
+             "geom_ops": 0, "indices": [], "extents": []}
 
     streaming = callable(rows)
     if streaming and emit_children:
@@ -285,6 +285,11 @@ def process_tile(rows, z, tx, ty, cfg: TileConfig, pass_params=None,
             continue
 
         stats["features"] = total_features
+        # busiest-tile metric: the reference's `count` is the sum of
+        # final drawvec sizes over emitted features (tile.cpp:549,
+        # count += layer_features[x].geom.size()), NOT the byte size
+        stats["geom_ops"] = sum(len(f.geometry)
+                                for L in tile.layers for f in L.features)
         return compressed, children, stats
 
     raise ValueError(f"could not make tile {z}/{tx}/{ty} small enough")
@@ -743,6 +748,11 @@ def _ladder_pass(clipped, z, cfg: TileConfig, detail, gamma, mingap,
                     ops, xs, ys = ops[:0], xs[:0], ys[:0]
 
         p["out"] = (ops, xs, ys)
+        # partial_feature_worker overwrites the quadkey index with the
+        # partial's POSITION (tile.cpp:522) — the reorder tie-break
+        # (coalindexcmp) therefore sorts equal-attribute features by
+        # within-tile input order, not by spatial index
+        p["index"] = len(finished)
         finished.append(p)
 
     # group into layers (std::map => sorted layer names)
@@ -1577,4 +1587,6 @@ def encode_points_tile_fast(run, z, tx, ty, cfg: TileConfig):
     out = raw if cfg.no_tile_compression else M.gzip_tile(raw)
     if len(out) > cfg.max_tile_size and not cfg.no_tile_size_limit:
         return FAST_LIMIT_EXCEEDED
-    return out
+    # (bytes, drawvec-op count) — the count feeds the busiest-tile
+    # center stat (tile.cpp:549,2598-2613)
+    return out, sum(len(f.geometry) for ly in tile.layers for f in ly.features)

@@ -91,6 +91,15 @@ def _merge_zoom_stats(params: dict, stats: dict) -> None:
         params["fraction"] = stats["fraction_out"]
 
 
+class TileDict(dict):
+    """{(z, x, y): tile_bytes} plus .geom_ops — per-tile final drawvec
+    op counts (tile.cpp:549), the busiest-tile metric for 'center'."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.geom_ops = {}
+
+
 def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exact"):
     """BFS the zoom pyramid locally.  Returns {(z, x, y): tile_bytes}.
 
@@ -103,7 +112,7 @@ def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exac
     if cfg.extend_zooms:
         cfg = _copy.deepcopy(cfg)  # maxzoom grows; don't mutate the caller's
         cfg.geometry_scale_override = cfg.geometry_scale  # frozen (main.cpp:3123)
-    tiles = {}
+    tiles = TileDict()
     current = {(0, 0): features}
     z = 0
     if cfg.one_tile is not None:
@@ -137,6 +146,7 @@ def build_tiles_local(features: list, cfg: TileConfig, minzoom_mode: str = "exac
             still_dropping = still_dropping or stats["still_dropping"]
             if tile_bytes is not None and z >= cfg.minzoom:
                 tiles[(z, tx, ty)] = tile_bytes
+                tiles.geom_ops[(z, tx, ty)] = stats["geom_ops"]
             for ch in children:
                 nxt.setdefault((ch.pop("tile_x"), ch.pop("tile_y")), []).append(ch)
         if cfg.extend_zooms and z == maxzoom and still_dropping and maxzoom < 24:
@@ -344,8 +354,10 @@ def _encode_sorted_frame(pdf: pd.DataFrame, cfg: TileConfig, prefilter: bool,
                     emit_children=False)
                 if still_flag is not None and stats["still_dropping"]:
                     still_flag.append(True)
-            if tb is not None:
-                recs.append((z, tx, ty, tb))
+                if tb is not None:
+                    recs.append((z, tx, ty, tb, stats["geom_ops"]))
+            elif tb is not None:
+                recs.append((z, tx, ty) + tb)
         else:
             tile_bytes, _children, stats = process_tile(
                 slow_rows[slow_pos: slow_pos + cnt], z, tx, ty, cfg,
@@ -355,7 +367,7 @@ def _encode_sorted_frame(pdf: pd.DataFrame, cfg: TileConfig, prefilter: bool,
             if still_flag is not None and stats["still_dropping"]:
                 still_flag.append(True)
             if tile_bytes is not None:
-                recs.append((z, tx, ty, tile_bytes))
+                recs.append((z, tx, ty, tile_bytes, stats["geom_ops"]))
     return recs
 
 
@@ -381,7 +393,8 @@ def _make_encode_processor(cfg: TileConfig, prefilter: bool, pass_params: dict |
         recs = _encode_sorted_frame(pdf, cfg, prefilter, pass_params)
         if not recs:
             return _empty_tiles_pdf()
-        return pd.DataFrame.from_records(recs, columns=["z", "x", "y", "tile"])
+        return pd.DataFrame.from_records(
+            recs, columns=["z", "x", "y", "tile", "gops"])
 
     return fn
 
@@ -392,6 +405,7 @@ def _empty_tiles_pdf() -> pd.DataFrame:
         "x": pd.Series(dtype="int64"),
         "y": pd.Series(dtype="int64"),
         "tile": pd.Series(dtype="object"),
+        "gops": pd.Series(dtype="int64"),
     })
 
 
@@ -664,7 +678,7 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
                                      "props", "layer", "has_id", "id")}
                     tb = encode_points_tile_fast(run, z, tx, ty, cfg)
                     if tb is not FAST_LIMIT_EXCEEDED:
-                        return (z, tx, ty, tb) if tb is not None else None
+                        return (z, tx, ty) + tb if tb is not None else None
                     # a tile limit fired: fall through to the ladder
                 tb, _c, st = process_tile(
                     _pdf_rows_to_dicts(pdf), z, tx, ty, cfg,
@@ -675,7 +689,7 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
                     pass_params=pp, emit_children=False)
             if still_acc is not None and st["still_dropping"]:
                 still_acc.add(1)
-            return (z, tx, ty, tb) if tb is not None else None
+            return (z, tx, ty, tb, st["geom_ops"]) if tb is not None else None
         finally:
             spool.close()
 
@@ -692,12 +706,13 @@ def _make_stream_encoder(cfg: TileConfig, prefilter: bool,
                     recs.append(rec)
             if len(recs) >= 256:
                 yield pd.DataFrame.from_records(
-                    recs, columns=["z", "x", "y", "tile"])
+                    recs, columns=["z", "x", "y", "tile", "gops"])
                 recs = []
         if still_acc is not None and still:
             still_acc.add(1)
         if recs:
-            yield pd.DataFrame.from_records(recs, columns=["z", "x", "y", "tile"])
+            yield pd.DataFrame.from_records(
+                recs, columns=["z", "x", "y", "tile", "gops"])
         else:
             yield _empty_tiles_pdf()
 
@@ -880,7 +895,7 @@ def _eligible_col(df, cfg: TileConfig):
 
 
 
-TILES_SCHEMA_DDL = "z int, x long, y long, tile binary"
+TILES_SCHEMA_DDL = "z int, x long, y long, tile binary, gops long"
 
 
 def cascade_all_zooms(df, cfg: TileConfig, prefilter: bool, shrink: bool = False):
