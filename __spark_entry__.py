@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # synthetic world coordinates: pure integer hash of the event key so both
 # engines compute identical values (no projection floats involved)
@@ -453,6 +454,131 @@ def q_simhash(spark, sf_dir):
         f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(60)
     )
     return agg.selectExpr("doc_id", f"CAST({pieces} AS BIGINT) AS simhash")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Gopher style): flag training
+    documents sharing any word n-gram with a held-out eval split
+    (doc_id % 97 == 0 stands in for the benchmark suite).  Scale shape:
+    the eval side of a real pipeline is a benchmark corpus — tiny next
+    to 100 TB of training text — so its distinct n-gram hashes
+    BROADCAST and the training side is a single map-side hash probe;
+    there is no train-side self-join.  Gram length is a parameter
+    (production uses 8-13); 4 here so the synthetic 20-word vocabulary
+    yields non-trivial overlap."""
+    docs = _load(spark, sf_dir, "documents")
+    grams = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS w")
+        .filter("size(w) >= 4")
+        .selectExpr(
+            "doc_id",
+            "explode(array_distinct(transform(sequence(0, size(w) - 4), "
+            "i -> md5(concat_ws(' ', slice(w, i + 1, 4)))))) AS g",
+        )
+    )
+    ev = grams.filter("doc_id % 97 = 0").selectExpr("doc_id AS eval_id", "g")
+    train = grams.filter("doc_id % 97 != 0")
+    return (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("shared_grams"),
+            F.countDistinct("eval_id").alias("eval_docs"),
+        )
+    )
+
+
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: token
+    count, distinct-token fraction, top-token fraction, duplicate-
+    bigram fraction.  The bigram stats are pure array expressions
+    (map-side, no shuffle); the token histogram is the one shuffle,
+    keyed by (doc_id, token) with map-side partial aggregation — skew
+    is bounded by document length, never corpus size."""
+    docs = _load(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS w",
+    ).selectExpr(
+        "doc_id",
+        "size(w) - 1 AS bigrams",
+        "size(array_distinct(transform(sequence(0, size(w) - 2), "
+        "i -> concat(w[i], ' ', w[i + 1])))) AS dist_bigrams",
+        "explode(w) AS tok",
+    ).filter("bigrams >= 1")
+    c = base.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("cnt"),
+        F.max("bigrams").alias("bigrams"),
+        F.max("dist_bigrams").alias("dist_bigrams"),
+    )
+    uni = c.groupBy("doc_id").agg(
+        F.expr("CAST(sum(cnt) AS BIGINT)").alias("toks"),
+        F.count("*").alias("dist"),
+        F.max("cnt").alias("top"),
+        F.max("bigrams").alias("bigrams"),
+        F.max("dist_bigrams").alias("dist_bigrams"),
+    )
+    return uni.selectExpr(
+        "doc_id",
+        "toks",
+        "round(CAST(dist AS DOUBLE) / toks, 6) AS distinct_frac",
+        "round(CAST(top AS DOUBLE) / toks, 6) AS top_token_frac",
+        "round(1 - CAST(dist_bigrams AS DOUBLE) / bigrams, 6) AS dup_bigram_frac",
+    )
+
+
+def q_quota_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling (training-data
+    mixing): a document is kept iff a uniform hash of its id falls
+    under the language's quota (en 80%, others 50%).  Pure map-side
+    expression + one small groupBy — the keep decision needs no state,
+    so the operator is embarrassingly parallel at any corpus size and
+    reproducible across runs and engines."""
+    docs = _load(spark, sf_dir, "documents")
+    h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+         "AS BIGINT) % 1000")
+    quota = "CASE WHEN lang = 'en' THEN 800 ELSE 500 END"
+    return (
+        docs.selectExpr(
+            "lang",
+            f"CASE WHEN {h} < {quota} THEN 1 ELSE 0 END AS keep",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.expr("CAST(sum(keep) AS BIGINT)").alias("kept"),
+        )
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Context-window sequence packing: documents are packed in doc_id
+    order into fixed 256-token packs per source via a cumulative-sum
+    window (pack_id = floor(tokens-before / budget)).  The window
+    partitions by source — the natural parallel unit of a packing job —
+    so no global ordering or driver loop is ever needed; 100 TB shape
+    is one shuffle keyed by source."""
+    docs = _load(spark, sf_dir, "documents")
+    t = docs.selectExpr(
+        "source",
+        "doc_id",
+        "length(text) - length(replace(text, ' ', '')) + 1 AS tokens",
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1)
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    )
+    return (
+        # floor(), not CAST: DuckDB casts double->bigint by rounding,
+        # Spark by truncation — floor is identical in both
+        c.selectExpr("source",
+                     "CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id",
+                     "tokens")
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("docs"),
+             F.expr("CAST(sum(tokens) AS BIGINT)").alias("pack_tokens"))
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -970,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "dedup_near_verified": q_dedup_near_verified,
         "simhash": q_simhash,
+        "contamination": q_contamination,
+        "repetition_metrics": q_repetition_metrics,
+        "quota_sample": q_quota_sample,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1140,6 +1270,47 @@ def oracle_sql() -> dict[str, str]:
         + " + ".join(f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)"
                      for b in range(60))
         + " AS BIGINT) AS simhash FROM agg",
+        "contamination": "WITH base AS (SELECT doc_id, "
+        "string_split(text, ' ') AS w FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 4), "
+        "g AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+3], ' ')) AS g "
+        "FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i) t), "
+        "ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0), "
+        "tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 != 0) "
+        "SELECT tr.doc_id, count(DISTINCT tr.g) AS shared_grams, "
+        "count(DISTINCT eval_id) AS eval_docs "
+        "FROM tr JOIN ev USING (g) GROUP BY 1",
+        "repetition_metrics": "WITH base AS (SELECT doc_id, "
+        "string_split(text, ' ') AS w FROM documents), "
+        "bg AS (SELECT doc_id, len(w) - 1 AS bigrams, "
+        "len(list_distinct(list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i+1]))) AS dist_bigrams "
+        "FROM base WHERE len(w) >= 2), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2), "
+        "uni AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS toks, "
+        "count(*) AS dist, max(cnt) AS top FROM c GROUP BY 1) "
+        "SELECT uni.doc_id, toks, "
+        "round(CAST(dist AS DOUBLE) / toks, 6) AS distinct_frac, "
+        "round(CAST(top AS DOUBLE) / toks, 6) AS top_token_frac, "
+        "round(1 - CAST(dist_bigrams AS DOUBLE) / bigrams, 6) AS dup_bigram_frac "
+        "FROM uni JOIN bg ON uni.doc_id = bg.doc_id",
+        "quota_sample": "SELECT lang, count(*) AS total, "
+        "CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), "
+        "1, 15))::BIGINT % 1000 < "
+        "CASE WHEN lang = 'en' THEN 800 ELSE 500 END THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS kept FROM documents GROUP BY 1",
+        "pack_sequences": "WITH t AS (SELECT source, doc_id, "
+        "length(text) - length(replace(text, ' ', '')) + 1 AS tokens "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, tokens, "
+        "COALESCE(CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) "
+        "AS cum_before FROM t) "
+        "SELECT source, CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id, "
+        "count(*) AS docs, CAST(sum(tokens) AS BIGINT) AS pack_tokens "
+        "FROM c GROUP BY 1, 2",
         "ngram_jaccard": "WITH sh AS (SELECT DISTINCT doc_id, "
         "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM (SELECT doc_id, "
         "string_split(text, ' ') AS w FROM documents), "
