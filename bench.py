@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "knn_cell",
     "rasterize",
     "simhash",
+    "contamination",
+    "repetition_metrics",
+    "quota_sample",
+    "pack_sequences",
     "events_hourly",
     "tpch_q1ish",
 ]

@@ -68,3 +68,45 @@ def test_incremental_tile_counts(spark, tmp_path):
     rows = spark.table("tile_stream").collect()
     assert sum(r["features"] for r in rows) == 2000
     assert all(r["z"] == 3 and 0 <= r["x"] < 8 and 0 <= r["y"] < 8 for r in rows)
+
+
+def test_streaming_dedup_exact_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch must still be dropped
+    (dedup state persists in the checkpoint), and every distinct text
+    must survive exactly once."""
+    from pyspark.sql import functions as F
+
+    from tippecanoe_spark.streaming.incremental import streaming_dedup_exact
+
+    src = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: docs 0..199 (texts t0..t99 twice -> in-batch duplicates)
+    b1 = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('t', CAST(id % 100 AS STRING)) AS text",
+        "timestamp '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+    ).coalesce(1)
+    # batch 2: docs 200..299, texts t50..t149 -> 50 cross-batch dups
+    b2 = spark.range(200, 300).selectExpr(
+        "id AS doc_id",
+        "concat('t', CAST(id - 150 AS STRING)) AS text",
+        "timestamp '2025-01-01 00:05:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+    ).coalesce(1)
+    b1.write.parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_dedup_exact(stream, watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_stream").collect()
+    hashes = [r["content_hash"] for r in got]
+    # every text survives exactly once: 150 distinct texts total
+    assert len(hashes) == 150
+    assert len(set(hashes)) == 150
+    texts = {r["text"] for r in got}
+    assert texts == {f"t{i}" for i in range(150)}
