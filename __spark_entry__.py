@@ -662,6 +662,19 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, k=3, bands=4, n=n)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (operators.ann.ann_ivf_topk): candidates are
+    coarse-quantized into 8 inverted lists (nearest sampled centroid),
+    queries probe their 2 nearest lists, exact quantized-cosine re-rank
+    inside the probed lists.  The complementary scale path to ann_lsh:
+    IVF bounds per-query work to nprobe * occupancy with a broadcast
+    centroid table and a map-side argmax assignment — no crossJoin."""
+    from tippecanoe_spark.operators.ann import ann_ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, k=3, n_centroids=8, nprobe=2)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate dedup (operators.ann.
     embedding_near_dup_pairs): LSH-bucketed candidate pairs (no
@@ -1103,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "knn_cell": q_knn_cell,
         "embedding_norms": q_embedding_norms,
@@ -1146,6 +1160,12 @@ def _ann_lsh_oracle() -> str:
     from tippecanoe_spark.operators.ann import ann_lsh_oracle_sql, planes_for
 
     return ann_lsh_oracle_sql(k=3, bands=4, planes=planes_for(500))
+
+
+def _ann_ivf_oracle() -> str:
+    from tippecanoe_spark.operators.ann import ann_ivf_oracle_sql
+
+    return ann_ivf_oracle_sql(k=3, n_centroids=8, nprobe=2)
 
 
 def _dedup_embedding_oracle() -> str:
@@ -1341,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
         "SELECT qid, rk, cid, sim FROM ranked WHERE rk <= 3",
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
         "knn_cell": xy + ", pts AS (SELECT event_id, "
         "((event_id * 2654435761) % 4294967296) / 4294967296E0 * 360E0 - 180E0 AS lon, "

@@ -108,3 +108,40 @@ def test_lsh_oracle_equivalence(spark):
     assert sdf[["qid", "rk", "cid"]].astype("int64").equals(
         odf[["qid", "rk", "cid"]].astype("int64"))
     assert float((sdf["sim"] - odf["sim"]).abs().max()) == 0.0
+
+
+def test_ivf_recall_planted(spark):
+    """IVF with sampled centroids: a planted near-duplicate has nearly
+    the query's own centroid distances, so it lands in a probed list —
+    planted recall must be high even at nprobe=2 of 8 lists."""
+    from tippecanoe_spark.operators.ann import ann_ivf_topk
+
+    rows = _planted_corpus(800)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = ann_ivf_topk(emb, k=3, n_centroids=8, nprobe=2).collect()
+    brute = _brute_topk(rows)
+    hit = sum(1 for r in got if r["cid"] in brute[r["qid"]])
+    total = sum(len(v) for v in brute.values())
+    recall = hit / total
+    assert recall >= 0.8, f"planted-neighbor IVF recall {recall:.2f} < 0.8"
+
+
+def test_ivf_probed_fraction(spark):
+    """The exact re-rank touches only the probed lists: scored pairs
+    per query are bounded by the occupancy of nprobe lists, well under
+    the corpus size."""
+    from pyspark.sql import functions as F
+
+    from tippecanoe_spark.operators.ann import ann_ivf_topk
+
+    rows = _planted_corpus(800)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # k large enough to return every scored pair -> measures candidate volume
+    all_pairs = ann_ivf_topk(emb, k=10**9, n_centroids=8, nprobe=2)
+    per_q = (all_pairs.groupBy("qid").agg(F.count("*").alias("n")).collect())
+    n_cand = 800 - 10
+    for r in per_q:
+        assert r["n"] < n_cand, (r, "probed more than the whole corpus")
+    avg = sum(r["n"] for r in per_q) / len(per_q)
+    # 2 of 8 lists -> expect ~25% of the corpus per query, not ~100%
+    assert avg <= 0.6 * n_cand, f"avg scored pairs {avg} not sublinear"

@@ -268,3 +268,119 @@ def ann_lsh_oracle_sql(k: int = 3, bands: int = 4, planes: int = 4,
         "PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored) "
         f"SELECT qid, rk, cid, sim FROM ranked WHERE rk <= {k}"
     )
+
+
+def ann_ivf_topk(emb, k: int = 3, n_centroids: int = 8, nprobe: int = 2,
+                 query_pred: str = "vec_id < 10",
+                 cent_pred: str | None = None):
+    """IVF-flat ANN: coarse-quantize candidates into ``n_centroids``
+    inverted lists (nearest centroid by exact quantized cosine), probe
+    the ``nprobe`` nearest lists per query, exact re-rank inside the
+    probed lists only.
+
+    Deterministic stand-in for the k-means coarse quantizer: the
+    centroids are the first ``n_centroids`` candidate vectors (a
+    sampled quantizer), so both engines derive identical lists — in
+    production the centroid table comes from a k-means job and K scales
+    ~sqrt(N), making list occupancy sqrt(N) and per-query work
+    nprobe*sqrt(N).
+
+    100 TB plan shape: the centroid table BROADCASTS (K rows); the
+    N x K assignment expansion collapses MAP-SIDE via max_by partial
+    aggregation, so exactly one row per vector reaches the shuffle; the
+    probe is an equi-join on list id.  No crossJoin between queries and
+    candidates anywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> {_quant('x')}) AS q",
+    ).selectExpr(
+        "vec_id", "q",
+        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) AS n2")
+    if cent_pred is None:
+        cent_pred = f"vec_id >= 10 AND vec_id < {10 + n_centroids}"
+    cents = base.filter(cent_pred).selectExpr(
+        "vec_id AS cent_id", "q AS cq", "n2 AS cn2")
+    dot_c = ("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, "
+             "(acc, v) -> acc + v)")
+    csim = f"({dot_c}) / (sqrt(n2) * sqrt(cn2))"
+
+    cpairs = (base.filter(f"NOT ({query_pred})")
+              .join(F.broadcast(cents))
+              .selectExpr("vec_id", "q", "n2", "cent_id", f"{csim} AS csim"))
+    assign = cpairs.groupBy("vec_id").agg(
+        F.expr("max_by(cent_id, struct(csim, -cent_id))").alias("cent_id"),
+        F.first("q").alias("qb"),
+        F.first("n2").alias("nb"),
+    ).selectExpr("vec_id AS cid", "cent_id", "qb", "nb")
+
+    qpairs = (base.filter(query_pred)
+              .join(F.broadcast(cents))
+              .selectExpr("vec_id AS qid", "q AS qa", "n2 AS na",
+                          "cent_id", f"{csim} AS csim"))
+    wp = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (qpairs.withColumn("rn", F.row_number().over(wp))
+              .filter(f"rn <= {nprobe}").select("qid", "qa", "na", "cent_id"))
+
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+           "(acc, v) -> acc + v)")
+    hits = probes.join(assign, "cent_id").selectExpr(
+        "qid", "cid", f"round(({dot}) / (sqrt(na) * sqrt(nb)), 6) AS sim")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (hits.withColumn("rk", F.row_number().over(w))
+            .filter(f"rk <= {k}").select("qid", "rk", "cid", "sim"))
+
+
+def ann_ivf_oracle_sql(k: int = 3, n_centroids: int = 8,
+                       nprobe: int = 2) -> str:
+    """DuckDB mirror of ann_ivf_topk (queries = vec_id < 10, centroids =
+    the first n_centroids candidates)."""
+    quant = "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> {quant}) AS q
+  FROM embeddings),
+b2 AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM base),
+cents AS (
+  SELECT vec_id AS cent_id, q AS cq, n2 AS cn2
+  FROM b2 WHERE vec_id >= 10 AND vec_id < {10 + n_centroids}),
+cp AS (
+  SELECT b2.vec_id, b2.q, b2.n2, cents.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q)),
+              i -> q[i] * cq[i])) AS BIGINT)
+           / (sqrt(n2) * sqrt(cn2)) AS csim
+  FROM b2, cents WHERE NOT (b2.vec_id < 10)),
+assign AS (
+  SELECT vec_id AS cid, q AS qb, n2 AS nb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM cp) WHERE rn = 1),
+qp AS (
+  SELECT b2.vec_id AS qid, b2.q AS qa, b2.n2 AS na, cents.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q)),
+              i -> q[i] * cq[i])) AS BIGINT)
+           / (sqrt(n2) * sqrt(cn2)) AS csim
+  FROM b2, cents WHERE b2.vec_id < 10),
+probes AS (
+  SELECT qid, qa, na, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM qp) WHERE rn <= {nprobe}),
+hits AS (
+  SELECT qid, cid,
+         round(CAST(list_sum(list_transform(generate_series(1, len(qa)),
+               i -> qa[i] * qb[i])) AS BIGINT)
+           / (sqrt(na) * sqrt(nb)), 6) AS sim
+  FROM probes JOIN assign USING (cent_id))
+SELECT qid, rk, cid, sim FROM (
+  SELECT qid, cid, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, cid ASC) AS rk
+  FROM hits) WHERE rk <= {k}
+"""
