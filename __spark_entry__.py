@@ -161,6 +161,60 @@ def q_h3_parent_rollup(spark, sf_dir):
             .selectExpr("parent AS h3_parent", "cnt"))
 
 
+def _s2_synth_sql(h60: str) -> str:
+    """A VALID leaf S2 cell id (operators/s2cell.py bit layout: 3 face
+    bits, 60 Hilbert position bits, trailing 1) as one integer
+    expression shared verbatim by Spark and DuckDB.  Faces 4-5 set bit
+    63, i.e. the id is NEGATIVE as signed BIGINT — assembled via signed
+    multiply-add ((face - 8) * 2^61) so no engine-specific unsigned
+    shift semantics are involved; face 4 lands exactly on INT64_MIN +
+    position, never overflowing."""
+    face = "(event_id % 6)"
+    high = (f"(CASE WHEN {face} >= 4 THEN {face} - 8 ELSE {face} END "
+            f"* {1 << 61})")
+    return f"cast({high} + {h60} * 2 + 1 AS BIGINT)"
+
+
+def q_s2_parent_rollup(spark, sf_dir):
+    """S2 cell density rollup (r5): events keyed by leaf S2 cell ids
+    in the standard 64-bit layout — synthesized here so the DuckDB
+    oracle can build bit-identical ids; the geographic lat/lng codec
+    (operators/s2cell.s2_cell_from_latlng, the real Hilbert-on-cube
+    projection) is exercised by tests/test_s2cell.py — validated with
+    the exact is_valid bit rules and rolled up to their level-4
+    ancestors.  Plan shape: one narrow bit-math projection + one hash
+    aggregation with map-side partials; ids on faces 4-5 are negative
+    as signed ints, which the algebra (operators/s2cell.py) is built
+    for."""
+    from tippecanoe_spark.operators.s2cell import (s2_is_leaf_sql,
+                                                   s2_is_valid_sql,
+                                                   s2_parent_rollup)
+
+    ev = _load(spark, sf_dir, "events")
+    h60 = ("cast(conv(substring(md5(cast(event_id AS string)), 1, 15), "
+           "16, 10) AS BIGINT)")
+    keyed = ev.selectExpr(f"{_s2_synth_sql(h60)} AS s2")
+    valid = keyed.filter(s2_is_valid_sql("s2")).filter(s2_is_leaf_sql("s2"))
+    return s2_parent_rollup(valid, "s2", 4)
+
+
+def _s2_oracle_sql() -> str:
+    """DuckDB twin of q_s2_parent_rollup — the SAME expression strings
+    from operators/s2cell.py, only the hex-parse spelling differs."""
+    from tippecanoe_spark.operators.s2cell import (s2_is_leaf_sql,
+                                                   s2_is_valid_sql,
+                                                   s2_parent_sql)
+
+    h60 = ("(('0x' || substring(md5(cast(event_id AS varchar)), 1, 15))"
+           "::BIGINT)")
+    return ("WITH keyed AS (SELECT " + _s2_synth_sql(h60)
+            + " AS s2 FROM events), "
+            "valid AS (SELECT s2 FROM keyed WHERE " + s2_is_valid_sql("s2")
+            + " AND " + s2_is_leaf_sql("s2") + ") "
+            "SELECT " + s2_parent_sql("s2", 4)
+            + " AS s2_cell, count(*) AS cnt FROM valid GROUP BY 1")
+
+
 def _qk_expr(x: str, y: str) -> str:
     """62-bit interleave of 31-bit halves (projection.cpp:157-170 layout,
     top bit dropped to stay in signed-bigint range for both engines)."""
@@ -1090,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": q_quadkey,
         "hex_density": q_hex_density,
         "h3_parent_rollup": q_h3_parent_rollup,
+        "s2_parent_rollup": q_s2_parent_rollup,
         "feature_minzoom": q_feature_minzoom,
         "zoom_rollup": q_zoom_rollup,
         "bbox": q_bbox,
@@ -1197,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": xy + f" SELECT {_HEXQ_DUCK} AS hq, {_HEXR_DUCK} AS hr, "
         "count(*) AS cnt FROM exy GROUP BY 1, 2",
         "h3_parent_rollup": _h3_oracle_sql(),
+        "s2_parent_rollup": _s2_oracle_sql(),
         "feature_minzoom": xy + f", r AS (SELECT event_id, "
         f"row_number() OVER (ORDER BY {_QK_DUCK}, event_id) AS rank FROM exy) "
         f"SELECT {mz} AS minzoom, count(*) AS n FROM r GROUP BY 1",
