@@ -91,6 +91,11 @@ CURATED = [
     "-5,-5 5,-5 5,5 -5,5 -5,-5",
     "0,0 4,0 4,4 0,4 0,0; 2,2 6,2 6,6 2,6 2,2; 4,4 8,4 8,8 4,8 4,4",
 ]
+# NOTE (r5): rings with >1 wagyu-local-minimum are deliberately NOT in
+# this curated list — their output head is sweep history (append_ring
+# merge order), which the arrangement-based union here can only match
+# canonically; the byte-exact coverage for that class lives in
+# tests/test_wagyu.py::test_wagyu_multi_local_minimum_heads.
 
 
 def parse_line(line):

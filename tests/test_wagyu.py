@@ -168,3 +168,38 @@ def test_wagyu_huge_coordinates_byte_exact():
                         rng.randint(-(1 << 20), 1 << 20))
                        for _ in range(rng.randint(4, 10))] for _ in range(nr)])
     _check(cases)
+
+
+@requires_probe
+def test_wagyu_multi_local_minimum_heads():
+    """r5 regression: a simple ring whose min-y row is split by a dip
+    has TWO wagyu-local-minima; the second spawns a ring that merges via
+    append_ring, so the output HEAD is sweep history, not the
+    max-x-among-min-y anchor the fast path assumes.  The gate must
+    decline these to the real sweep (the old gate emitted a rotated
+    ring — 10/33-tile CLI divergence on the reference's own
+    tests/named fixtures at z0).  Cases: the minimal shrink, the
+    7-point shrink of the alb polygon, and a local-minimum-rich star
+    fuzz."""
+    import math
+
+    cases = [
+        [[(3502, 3620), (3504, 3621), (3508, 3620), (3506, 3677),
+          (3482, 3620)]],
+        [[(3502, 3620), (3504, 3621), (3508, 3620), (3506, 3677),
+          (3478, 3630), (3482, 3620), (3493, 3620)]],
+    ]
+    rng = random.Random(99)
+    for _ in range(250):  # radius-jittered stars: many local extrema
+        n = rng.randint(5, 24)
+        cx, cy = rng.randint(100, 4000), rng.randint(100, 4000)
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        ring = []
+        for a in angs:
+            r = rng.randint(3, 80)
+            p = (cx + int(r * math.cos(a)), cy + int(r * math.sin(a)))
+            if not ring or p != ring[-1]:
+                ring.append(p)
+        if len(ring) >= 4:
+            cases.append([ring])
+    _check(cases)

@@ -653,12 +653,16 @@ def build_main(argv) -> int:
     # -n name, else the -o / -e path exactly as given (main.cpp:3183)
     name = eng["name"] or eng["output"] or eng["outdir"] or "out"
 
-    # per-file layer names: --named-layer beats --layer beats filename
+    # per-file layer names: --layer overrides EVERY source including the
+    # --named-layer ones (main.cpp:3175-3179 rewrites sources[a].layer
+    # whenever -l is given); otherwise --named-layer beats filename
     def layer_arg():
+        if eng["layer"]:
+            return eng["layer"]
         if eng["named_layers"]:
-            return {p: eng["named_layers"].get(p, eng["layer"])
-                    or _default_layer(p) for p in eng["inputs"]}
-        return eng["layer"]
+            return {p: eng["named_layers"].get(p) or _default_layer(p)
+                    for p in eng["inputs"]}
+        return None
 
     def _default_layer(p):
         from .io.geojson import layer_name_from_path

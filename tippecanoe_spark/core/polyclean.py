@@ -556,6 +556,28 @@ def _fast_single_ring(pts: list):
     n = len(pts)
     if len(set(pts)) != n:
         return None
+    # single-local-minimum gate: wagyu's output ring head is the raw
+    # linked-list head (build_result.hpp:16 walks from r->points with
+    # NO canonicalization).  With exactly one local bottom the sweep
+    # builds one ring and the head lands on the max-x vertex of the
+    # min-y run (the _rotate_ring rule, fuzz-held).  A second local
+    # bottom spawns a second ring that merges via append_ring, and the
+    # merged head depends on sweep history — decline to the real sweep.
+    # Count local bottoms as +dy -> -dy sign transitions around the
+    # cycle (zero-dy runs skipped).
+    signs = []
+    for i in range(n):
+        dy = pts[(i + 1) % n][1] - pts[i][1]
+        if dy != 0:
+            signs.append(1 if dy > 0 else -1)
+    if signs:
+        bottoms = 0
+        m = len(signs)
+        for i in range(m):
+            if signs[i] > 0 and signs[(i + 1) % m] < 0:
+                bottoms += 1
+        if bottoms > 1:
+            return None
     # segments + precomputed bboxes
     segs = [(pts[i][0], pts[i][1], pts[(i + 1) % n][0], pts[(i + 1) % n][1])
             for i in range(n)]
