@@ -113,8 +113,12 @@ def _h3_synth_sql(h64: str, div: str) -> str:
     bc_raw = f"({h64} % 122)"
     pent = " OR ".join(f"{bc_raw} = {p}" for p in H3_PENTAGONS)
     bc = f"(CASE WHEN {pent} THEN {bc_raw} + 1 ELSE {bc_raw} END)"
+    # digit i from a 3-bit slice, folded into 0..6 with % 7 — cheap
+    # shifts instead of 9 big-constant base-7 divisions (the DIV form
+    # plus the validity CASEs fused into one janino method > 64 KB and
+    # the whole stage fell back to interpreted mode; BENCH_r05)
     digits = " + ".join(
-        f"((({h64} {div} {7 ** (i - 1)}) % 7) * {1 << (3 * (15 - i))})"
+        f"(((({h64} >> {3 * (i - 1)}) & 7) % 7) * {1 << (3 * (15 - i))})"
         for i in range(1, 10))
     return (f"cast({1 << 59} + {9 << 52} + {bc} * {1 << 45} + {digits} "
             f"+ {(1 << 18) - 1} AS BIGINT)")
@@ -145,20 +149,42 @@ def q_h3_parent_rollup(spark, sf_dir):
     checked with the exact h3IsValid bit rules and rolled up to their
     res-3 parents (h3ToParent is pure bit math; operators/cellindex.py).
     The geographic lat/lng->H3 projection stays honestly out of scope;
-    this is the join/rollup path for external H3-keyed datasets.  One
-    narrow bit-math projection + one hash aggregation."""
-    from tippecanoe_spark.operators.cellindex import (h3_is_valid_sql,
-                                                      h3_parent_rollup,
-                                                      h3_resolution_sql)
+    this is the join/rollup path for external H3-keyed datasets.
+
+    Plan shape: TWO-LEVEL aggregation.  Stage 1 dedups on the raw id
+    (map-side partials; synth only — compact codegen); the validity
+    checks then run once per DISTINCT id in their own stage — also the
+    right shape at 10^12 rows (validity cost scales with |distinct|,
+    not |rows|).  The checks filter on `min(h3)` (an aggregate OUTPUT,
+    identical in value to the group key) rather than the key itself:
+    a predicate on a grouping column gets pushed below the aggregate
+    and Catalyst substitutes the md5-based synth into every one of the
+    ~50 bit checks — a filter condition hundreds of KB long whose
+    generated method exceeds janino's 64 KB limit, dropping the whole
+    100k-row stage to interpreted mode (~10 s, BENCH_r05).  Predicates
+    on aggregate outputs cannot be pushed, so each stage stays small
+    and compiled."""
+    from pyspark.sql import functions as F
+
+    from tippecanoe_spark.operators.cellindex import (h3_is_valid_checks,
+                                                      h3_resolution_sql,
+                                                      h3_to_parent_sql)
 
     ev = _load(spark, sf_dir, "events")
     h64 = ("cast(conv(substring(md5(cast(event_id AS string)), 1, 15), "
            "16, 10) AS BIGINT)")
-    keyed = ev.selectExpr(f"{_h3_synth_sql(h64, 'DIV')} AS h3")
-    valid = keyed.filter(h3_is_valid_sql("h3")) \
-                 .filter(f"{h3_resolution_sql('h3')} = 9")
-    return (h3_parent_rollup(valid, "h3", 3)
-            .selectExpr("parent AS h3_parent", "cnt"))
+    keyed = (ev.selectExpr(f"{_h3_synth_sql(h64, 'DIV')} AS h3")
+             .groupBy("h3")
+             .agg(F.count("*").alias("c"), F.min("h3").alias("h3v"))
+             .select("h3v", "c"))
+    valid = keyed
+    for chk in h3_is_valid_checks("h3v"):
+        valid = valid.filter(chk)
+    valid = valid.filter(f"{h3_resolution_sql('h3v')} = 9")
+    return (valid.selectExpr(f"{h3_to_parent_sql('h3v', 3)} AS h3_parent",
+                             "c")
+            .groupBy("h3_parent")
+            .agg(F.expr("cast(sum(c) AS BIGINT)").alias("cnt")))
 
 
 def _s2_synth_sql(h60: str) -> str:
@@ -463,19 +489,31 @@ def q_dedup_near_verified(spark, sf_dir):
         "i -> concat(w[i], ' ', w[i + 1])))) AS shingle",
     )
     # 4 bands: min(md5(seed || shingle)) per band
+    # r=2 banding (two independent min-hash families per band): a pair
+    # is a candidate only when BOTH mins of some band agree — the r=1
+    # form made nearly everything a candidate on the tiny synthetic
+    # vocabulary (600k verified pairs / ~18 s at sf0.1 in BENCH_r05)
     mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"b{b}:"), F.col("shingle")))).alias(f"mh{b}")
-          for b in range(4)],
+        *[F.min(F.md5(F.concat(F.lit(f"b{b}{t}:"), F.col("shingle")))
+                ).alias(f"mh{b}{t}")
+          for b in range(4) for t in ("a", "b")],
         F.count("*").alias("sz"),
     )
-    cand = None
-    for b in range(4):
-        a = mh.selectExpr("doc_id AS d1", f"mh{b} AS band_val", "sz AS sz1")
-        c = mh.selectExpr("doc_id AS d2", f"mh{b} AS band_val", "sz AS sz2")
-        pairs = a.join(c, "band_val").filter("d1 < d2") \
-                 .select("d1", "d2", "sz1", "sz2")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    # melt the 4 band columns into (band, band_val) rows and self-join
+    # ONCE on (band, band_val): the old per-band union of 4 self-joins
+    # re-evaluated the (shingle-explode + md5-min) aggregation 8 times
+    # (dedup_near_verified measured ~19 s in BENCH_r05); with identical
+    # subplans on both join sides the shuffle is computed once and
+    # reused (ReusedExchange)
+    melted = mh.selectExpr(
+        "doc_id", "sz",
+        "stack(4, " + ", ".join(
+            f"{b}, concat(mh{b}a, '|', mh{b}b)" for b in range(4))
+        + ") AS (band, band_val)")
+    a = melted.selectExpr("doc_id AS d1", "sz AS sz1", "band", "band_val")
+    c = melted.selectExpr("doc_id AS d2", "sz AS sz2", "band", "band_val")
+    cand = (a.join(c, ["band", "band_val"]).filter("d1 < d2")
+            .select("d1", "d2", "sz1", "sz2").distinct())
     # exact verification: intersect shingle sets of candidate pairs only
     inter = (
         cand.join(sh.selectExpr("doc_id AS d1", "shingle"), "d1")
@@ -649,19 +687,31 @@ def q_ngram_jaccard(spark, sf_dir):
         "explode(array_distinct(transform(sequence(0, size(w) - 3), "
         "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])))) AS shingle",
     )
+    # r=2 banding (two independent min-hash families per band): a pair
+    # is a candidate only when BOTH mins of some band agree — the r=1
+    # form made nearly everything a candidate on the tiny synthetic
+    # vocabulary (600k verified pairs / ~18 s at sf0.1 in BENCH_r05)
     mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"t{b}:"), F.col("shingle")))).alias(f"mh{b}")
-          for b in range(4)],
+        *[F.min(F.md5(F.concat(F.lit(f"t{b}{t}:"), F.col("shingle")))
+                ).alias(f"mh{b}{t}")
+          for b in range(4) for t in ("a", "b")],
         F.count("*").alias("sz"),
     )
-    cand = None
-    for b in range(4):
-        a = mh.selectExpr("doc_id AS d1", f"mh{b} AS band_val", "sz AS sz1")
-        c = mh.selectExpr("doc_id AS d2", f"mh{b} AS band_val", "sz AS sz2")
-        pairs = a.join(c, "band_val").filter("d1 < d2") \
-                 .select("d1", "d2", "sz1", "sz2")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    # melt the 4 band columns into (band, band_val) rows and self-join
+    # ONCE on (band, band_val): the old per-band union of 4 self-joins
+    # re-evaluated the (shingle-explode + md5-min) aggregation 8 times
+    # (dedup_near_verified measured ~19 s in BENCH_r05); with identical
+    # subplans on both join sides the shuffle is computed once and
+    # reused (ReusedExchange)
+    melted = mh.selectExpr(
+        "doc_id", "sz",
+        "stack(4, " + ", ".join(
+            f"{b}, concat(mh{b}a, '|', mh{b}b)" for b in range(4))
+        + ") AS (band, band_val)")
+    a = melted.selectExpr("doc_id AS d1", "sz AS sz1", "band", "band_val")
+    c = melted.selectExpr("doc_id AS d2", "sz AS sz2", "band", "band_val")
+    cand = (a.join(c, ["band", "band_val"]).filter("d1 < d2")
+            .select("d1", "d2", "sz1", "sz2").distinct())
     inter = (
         cand.join(sh.selectExpr("doc_id AS d1", "shingle"), "d1")
         .join(sh.selectExpr("doc_id AS d2", "shingle"), ["d2", "shingle"])
@@ -1101,7 +1151,7 @@ def q_multimodal_av(spark, sf_dir):
                          "m2": float((np.signbit(s[1:])
                                       != np.signbit(s[:-1])).sum())})
         elif r.kind == "video":
-            gframes, pal, delays = decode_gif(bytes(r.payload))
+            gframes, pals, delays = decode_gif(bytes(r.payload))
             ends = np.cumsum([(d if d > 0 else 10) * 10 for d in delays])
             means = []
             for k, t in enumerate(range(0, max(int(ends[-1]), 1), 100)):
@@ -1109,7 +1159,8 @@ def q_multimodal_av(spark, sf_dir):
                     break
                 fi = min(int(np.searchsorted(ends, t, side="right")),
                          len(gframes) - 1)
-                means.append(float(pal[gframes[fi]].astype(np.float64).mean()))
+                means.append(
+                    float(pals[fi][gframes[fi]].astype(np.float64).mean()))
             rows.append({"media_id": r.media_id, "kind": "video",
                          "n_units": len(means),
                          "m1": float(np.mean(means)),
@@ -1323,12 +1374,13 @@ def oracle_sql() -> dict[str, str]:
         "string_split(text, ' ') AS w FROM documents), "
         "LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)), "
         "mh AS (SELECT doc_id, "
-        + ", ".join(f"min(md5('b{b}:' || shingle)) AS mh{b}" for b in range(4))
+        + ", ".join(f"min(md5('b{b}{t}:' || shingle)) AS mh{b}{t}" for b in range(4) for t in ("a", "b"))
         + ", count(*) AS sz FROM sh GROUP BY 1), "
         "cand AS ("
         + " UNION ".join(
             f"SELECT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1, b.sz AS sz2 "
-            f"FROM mh a JOIN mh b ON a.mh{b} = b.mh{b} AND a.doc_id < b.doc_id"
+            f"FROM mh a JOIN mh b ON a.mh{b}a = b.mh{b}a "
+            f"AND a.mh{b}b = b.mh{b}b AND a.doc_id < b.doc_id"
             for b in range(4))
         + "), inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter FROM cand "
         "JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2 "
@@ -1392,12 +1444,13 @@ def oracle_sql() -> dict[str, str]:
         "string_split(text, ' ') AS w FROM documents), "
         "LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)), "
         "mh AS (SELECT doc_id, "
-        + ", ".join(f"min(md5('t{b}:' || shingle)) AS mh{b}" for b in range(4))
+        + ", ".join(f"min(md5('t{b}{t}:' || shingle)) AS mh{b}{t}" for b in range(4) for t in ("a", "b"))
         + ", count(*) AS sz FROM sh GROUP BY 1), "
         "cand AS ("
         + " UNION ".join(
             f"SELECT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1, b.sz AS sz2 "
-            f"FROM mh a JOIN mh b ON a.mh{b} = b.mh{b} AND a.doc_id < b.doc_id"
+            f"FROM mh a JOIN mh b ON a.mh{b}a = b.mh{b}a "
+            f"AND a.mh{b}b = b.mh{b}b AND a.doc_id < b.doc_id"
             for b in range(4))
         + "), inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter FROM cand "
         "JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2 "

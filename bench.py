@@ -43,7 +43,12 @@ BENCH_QUERIES = [
     "minhash_bands",
     "ann_cosine_topk",
     "ann_lsh",
+    "ann_ivf",
     "dedup_embedding",
+    "dedup_near_verified",
+    "ngram_jaccard",
+    "h3_parent_rollup",
+    "s2_parent_rollup",
     "knn_cell",
     "rasterize",
     "simhash",

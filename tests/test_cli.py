@@ -533,6 +533,20 @@ def test_cli_errors():
         main(["-o", "/tmp/x.mbtiles", "--definitely-not-an-option", "in.json"])
 
 
+def test_cli_minzoom_above_maxzoom_fatal():
+    """minzoom > maxzoom is fatal AFTER the detail clamps
+    (main.cpp:3112-3115): -d14 caps maxzoom at 18, so -Z19 must error
+    even though the literal -z20 exceeds it."""
+    from tippecanoe_spark.cli import options_to_config
+
+    with pytest.raises(ValueError, match="cannot be greater than"):
+        options_to_config("-d14 -z20 -Z19")
+    # the clamp itself: -m above -d reduces min_detail (main.cpp:3085)
+    assert options_to_config("-d10 -m12").min_detail == 10
+    # -zg presets maxzoom to 24 first (main.cpp:2742), so -Z up to 24 is fine
+    assert options_to_config("-zg -Z20").minzoom == 20
+
+
 @requires_reference
 def test_cli_multilayer_fixtures_match_reference(tmp_path):
     """The reference's own multi-input fixtures: tests/multilayer

@@ -109,6 +109,42 @@ def test_jsontool_bare_geometries_and_stdin():
 
 
 @requires_jsontool
+def test_jsontool_geometry_veto_is_positional():
+    """jsonpull probes the enclosing hash the moment a candidate
+    geometry COMPLETES (geojson-loop.cpp:76-92), so a 'geometry' key
+    AFTER the candidate's pair cannot veto it — only one at-or-before
+    can (r5 regression: the old walk tested the fully-parsed parent)."""
+    cases = [
+        # later 'geometry' key: candidate under 'x' IS emitted
+        '{"x": {"type":"Point","coordinates":[0,0]}, "geometry": 1}\n',
+        # earlier 'geometry' key: vetoed
+        '{"geometry": 1, "x": {"type":"Point","coordinates":[0,0]}}\n',
+        # candidate is itself the geometry value: vetoed
+        '{"geometry": {"type":"Point","coordinates":[0,0]}}\n',
+        # same positional rule for 'geometries' in the grandparent
+        '{"x": [{"type":"Point","coordinates":[0,0]}], "geometries": 1}\n',
+        '{"geometries": 1, "x": [{"type":"Point","coordinates":[0,0]}]}\n',
+    ]
+    for doc in cases:
+        rrc, rout = _ref([], stdin=doc.encode())
+        orc, oout = _ours([], stdin_text=doc)
+        assert (orc, oout) == (rrc, rout), doc
+
+
+@requires_jsontool
+def test_jsontool_bundled_short_options(tmp_path):
+    """getopt_long splits bundled shorts ("-ename", "-we name"); the
+    drop-in must accept the same spellings (r5 regression)."""
+    f = tmp_path / "in.json"
+    f.write_text('{"type":"Feature","properties":{"name":"a"},'
+                 '"geometry":{"type":"Point","coordinates":[1,1]}}\n')
+    for args in (["-ename"], ["-e", "name"], ["-we", "name"], ["-wename"]):
+        rrc, rout = _ref([*args, str(f)])
+        orc, oout = _ours([*args, str(f)])
+        assert (orc, oout) == (rrc, rout), args
+
+
+@requires_jsontool
 def test_jsontool_mixture_is_fatal():
     nd = ('{"type":"Point","coordinates":[1,2]}\n'
           '{"type":"Feature","properties":{},'
@@ -181,3 +217,27 @@ def test_jsontool_spark_path_matches_local(tmp_path):
     orc, owrap = _ours(["--spark-master", "local[4]", *args])
     assert orc == 0
     assert owrap == rwrap
+
+
+@requires_jsontool
+def test_jsontool_spark_cursor_skip_semantics(tmp_path):
+    """Out-of-sort CSV that ESCAPES the fatal checks: the forward-only
+    cursor reads past row 'a' while serving feature 'a' (no join,
+    no error) — a dict join would wrongly attach it.  The Spark path
+    must reproduce the cursor exactly (r5 regression: the broadcast
+    dict joined rows the cursor skips)."""
+    csvf = tmp_path / "j.csv"
+    csvf.write_text("key,attr\nb,vb\na,va\n")
+    js = tmp_path / "in.json"
+    js.write_text(
+        '{"type":"Feature","properties":{"key":"a"},'
+        '"geometry":{"type":"Point","coordinates":[1,1]}}\n'
+        '{"type":"Feature","properties":{"key":"b"},'
+        '"geometry":{"type":"Point","coordinates":[2,2]}}\n')
+    rrc, rout = _ref(["-c", str(csvf), str(js)])
+    orc, oout = _ours(["-c", str(csvf), str(js)])
+    assert (orc, oout) == (rrc, rout)
+    assert b'"key":"a"}' in rout  # feature a NOT joined by the cursor
+    src, sout = _ours(["--spark-master", "local[2]", "-c", str(csvf),
+                       str(js)])
+    assert (src, sout) == (rrc, rout)

@@ -158,11 +158,11 @@ def test_gif_decode_public_fixture():
               b"\x21\xf9\x04\x01\x00\x00\x00\x00"
               b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00"
               b"\x3b")
-    frames, palette, delays = decode_gif(gif1x1)
+    frames, palettes, delays = decode_gif(gif1x1)
     assert len(frames) == 1
     assert frames[0].shape == (1, 1)
     assert frames[0][0, 0] == 0
-    assert palette.tolist() == [[255, 255, 255], [0, 0, 0]]
+    assert palettes[0].tolist() == [[255, 255, 255], [0, 0, 0]]
 
 
 def test_gif_roundtrip_animated():
@@ -180,7 +180,7 @@ def test_gif_roundtrip_animated():
         frames = [rng.integers(0, ncol, (h, w)).astype(np.uint8)
                   for _ in range(nfr)]
         f2, p2, d2 = decode_gif(encode_gif(frames, pal, delay_cs=12))
-        assert np.array_equal(p2, pal)
+        assert all(np.array_equal(x, pal) for x in p2)
         assert len(f2) == nfr and d2 == [12] * nfr
         assert all(np.array_equal(a, b) for a, b in zip(frames, f2))
     big = rng.integers(0, 256, (64, 400)).astype(np.uint8)  # table reset
@@ -202,10 +202,10 @@ def test_synth_audio_video_are_real_payloads():
         assert round(len(samples) * 1000 / rate) == r.duration_ms
         assert np.abs(samples).max() > 1000  # actual signal, not silence
     for r in pdf[pdf["kind"] == "video"].itertuples(index=False):
-        frames, palette, delays = decode_gif(bytes(r.payload))
+        frames, palettes, delays = decode_gif(bytes(r.payload))
         assert frames[0].shape == (r.height, r.width)
         assert sum(d * 10 for d in delays) == r.duration_ms
-        assert len(palette) == 16
+        assert all(len(p) == 16 for p in palettes)
 
 
 def test_audio_features_distributed_matches_local(spark):
@@ -247,8 +247,8 @@ def test_frame_sample_real_gif_frames(spark):
             for r in pdf[pdf["kind"] == "video"].itertuples(index=False)}
     multi = 0
     for row in out:
-        frames, palette, _delays = decode_gif(vids[row["media_id"]])
-        want = palette[frames[row["frame_idx"]]]
+        frames, palettes, _delays = decode_gif(vids[row["media_id"]])
+        want = palettes[row["frame_idx"]][frames[row["frame_idx"]]]
         assert np.array_equal(decode_png(bytes(row["frame"])), want)
         multi += row["frame_idx"] > 0
     assert multi > 0  # the timeline walk reaches beyond frame 0
@@ -260,3 +260,41 @@ def test_dirtiles_roundtrip(tmp_path):
     tiles = {(0, 0, 0): b"abc", (1, 1, 0): b"def", (4, 3, 7): b"xyz"}
     write_dirtiles(str(tmp_path), tiles, metadata={"name": "t"})
     assert read_dirtiles(str(tmp_path)) == tiles
+
+
+def test_gif_local_color_table_overrides_global():
+    """A frame's local color table overrides the global one (r5
+    regression: the old decode kept the global palette, mis-coloring
+    local-table frames); sub-rectangle composition across differing
+    palettes declines honestly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from tippecanoe_spark.io.multimodal import (decode_gif, encode_gif,
+                                                sample_gif_frames)
+
+    rng = np.random.default_rng(21)
+    gpal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    lpal = 255 - gpal
+    fr = rng.integers(0, 4, (6, 5)).astype(np.uint8)
+    base = bytearray(encode_gif([fr, fr], gpal, delay_cs=10))
+    # rewrite the SECOND image descriptor to carry a local color table
+    # (flags bit 0x80 + size bits), inserting lpal right after it
+    img_offsets = [i for i in range(len(base)) if base[i] == 0x2C
+                   and i + 10 <= len(base)
+                   and struct.unpack("<HHHH", base[i + 1:i + 9])
+                   == (0, 0, 5, 6)]
+    assert len(img_offsets) == 2
+    off = img_offsets[1]
+    base[off + 9] = 0x80 | 1  # local table, 2<<1 = 4 entries
+    gif = bytes(base[:off + 10]) + lpal.tobytes() + bytes(base[off + 10:])
+    frames, palettes, _ = decode_gif(gif)
+    assert np.array_equal(palettes[0], gpal)
+    assert np.array_equal(palettes[1], lpal)
+    # the timeline sampler resolves each frame through ITS OWN table
+    samples = sample_gif_frames(gif, every_ms=100, cap=4)
+    by_idx = {fi: rgb for fi, rgb in samples}
+    assert np.array_equal(by_idx[0], gpal[fr])
+    assert np.array_equal(by_idx[1], lpal[fr])

@@ -80,6 +80,10 @@ CASES = [
     # 10/33 tiles diverging under the old drop_fraction aliasing.
     ("muni/muni.json", "muni", "-Z11 -z13 -M10000 -pd", True),
     ("muni/muni.json", "muni", "-z6 -O50 -pd", True),
+    # -m above -d: the reference clamps min_detail down to full_detail
+    # (main.cpp:3085-3088), so low-zoom tiles (whose ladder starts at
+    # low_detail 12) may still descend to detail 10 under -M pressure
+    ("muni/muni.json", "muni", "-z6 -d10 -m12 -M2000", True),
     ("muni/muni.json", "muni", "-z6 -M2000 -pd --extend-zooms-if-still-dropping", True),
     ("nullisland/in.json", "in", "-z5 --no-tiny-polygon-reduction", True),
     # --calculate-feature-density (density spacing persists across

@@ -383,6 +383,8 @@ def options_to_config(options, maxzoom_default: int = 14):
         raise ValueError(f"unsupported option: {t}")
     # "Highest supported zoom" clamps (main.cpp:3085-3110): detail-based
     # caps only without -zg; the MAX_ZOOM=24 cap unconditionally
+    if cfg.full_detail < cfg.min_detail:
+        cfg.min_detail = cfg.full_detail  # main.cpp:3085-3088
     if cfg.low_detail < cfg.min_detail:
         cfg.min_detail = cfg.low_detail
     if not cfg.guess_maxzoom_flag:
@@ -392,6 +394,12 @@ def options_to_config(options, maxzoom_default: int = 14):
             cfg.maxzoom = 33 - cfg.low_detail
     if cfg.maxzoom > 24:
         cfg.maxzoom = 24
+    if cfg.minzoom > cfg.maxzoom:
+        # fatal in the reference AFTER the clamps (main.cpp:3112-3115),
+        # so a detail clamp that drags maxzoom under -Z must error too
+        raise ValueError(
+            f"Minimum zoom -Z{cfg.minzoom} cannot be greater than "
+            f"maxzoom -z{cfg.maxzoom}")
     if not explicit_basezoom:
         if cfg.guess_maxzoom_flag:
             cfg.basezoom = -1  # resolved after guessing
@@ -615,6 +623,7 @@ def build_main(argv) -> int:
     # (features_from_file); symlinks keep named files zero-copy
     import tempfile as _tempfile
 
+    _scratch = []  # stdin copies / format-symlink dirs, removed on return
     for idx, p in enumerate(list(eng["inputs"])):
         fmt = eng["formats"].get(p)
         if p == "":
@@ -624,182 +633,196 @@ def build_main(argv) -> int:
             tf.write(sys.stdin.read())
             tf.close()
             newp = tf.name
+            _scratch.append(newp)
         elif fmt == "csv" and not p.endswith(".csv"):
             d = _tempfile.mkdtemp(prefix="tippecanoe-fmt-")
             newp = os.path.join(d, os.path.basename(p) + ".csv")
             os.symlink(os.path.abspath(p), newp)
+            _scratch.append(d)
         else:
             continue
         eng["inputs"][idx] = newp
         if p in eng["named_layers"]:
             eng["named_layers"][newp] = eng["named_layers"][p]
 
-    # existing-tileset guard (mbtiles.cpp:48, dirtiles.cpp:75): without
-    # -f (delete first) or -F (write into the existing tables/dir),
-    # refuse rather than silently mix tilesets
-    if not eng["force"] and not eng["allow_existing"]:
-        exists = (eng["output"] and os.path.exists(eng["output"])) or \
-            (eng["outdir"] and os.path.isdir(eng["outdir"])
-             and os.listdir(eng["outdir"]))
-        if exists:
-            tgt = eng["output"] or eng["outdir"]
-            print(f'Tileset "{tgt}" already exists. You can use --force '
-                  "if you want to delete the old tileset.", file=sys.stderr)
-            return 1
+    try:
+        # existing-tileset guard (mbtiles.cpp:48, dirtiles.cpp:75): without
+        # -f (delete first) or -F (write into the existing tables/dir),
+        # refuse rather than silently mix tilesets
+        if not eng["force"] and not eng["allow_existing"]:
+            exists = (eng["output"] and os.path.exists(eng["output"])) or \
+                (eng["outdir"] and os.path.isdir(eng["outdir"])
+                 and os.listdir(eng["outdir"]))
+            if exists:
+                tgt = eng["output"] or eng["outdir"]
+                print(f'Tileset "{tgt}" already exists. You can use --force '
+                      "if you want to delete the old tileset.", file=sys.stderr)
+                return 1
 
-    from .operators.stats import build_metadata
-    from .pipeline import build_tiles_local
+        from .operators.stats import build_metadata
+        from .pipeline import build_tiles_local
 
-    # -n name, else the -o / -e path exactly as given (main.cpp:3183)
-    name = eng["name"] or eng["output"] or eng["outdir"] or "out"
+        # -n name, else the -o / -e path exactly as given (main.cpp:3183)
+        name = eng["name"] or eng["output"] or eng["outdir"] or "out"
 
-    # per-file layer names: --layer overrides EVERY source including the
-    # --named-layer ones (main.cpp:3175-3179 rewrites sources[a].layer
-    # whenever -l is given); otherwise --named-layer beats filename
-    def layer_arg():
-        if eng["layer"]:
-            return eng["layer"]
-        if eng["named_layers"]:
-            return {p: eng["named_layers"].get(p) or _default_layer(p)
-                    for p in eng["inputs"]}
-        return None
+        # per-file layer names: --layer overrides EVERY source including the
+        # --named-layer ones (main.cpp:3175-3179 rewrites sources[a].layer
+        # whenever -l is given); otherwise --named-layer beats filename
+        def layer_arg():
+            if eng["layer"]:
+                return eng["layer"]
+            if eng["named_layers"]:
+                return {p: eng["named_layers"].get(p) or _default_layer(p)
+                        for p in eng["inputs"]}
+            return None
 
-    def _default_layer(p):
-        from .io.geojson import layer_name_from_path
+        def _default_layer(p):
+            from .io.geojson import layer_name_from_path
 
-        return layer_name_from_path(p)
+            return layer_name_from_path(p)
 
-    needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
-                   or cfg.droprate < 0)
-    if eng["local"]:
-        from .io.geojson import features_from_file
+        needs_guess = (cfg.guess_maxzoom_flag or cfg.basezoom < 0
+                       or cfg.droprate < 0)
+        if eng["local"]:
+            from .io.geojson import features_from_file
 
-        la = layer_arg()
-        feats = []
-        for fi, path in enumerate(eng["inputs"]):
-            lname = la.get(path) if isinstance(la, dict) else la
-            feats += features_from_file(path, cfg, lname,
-                                        seq_start=fi << 40)
-        if needs_guess:
-            from .operators.guess import resolve_guesses
-
-            resolve_guesses(feats, cfg, cfg.guess_maxzoom_flag,
-                            cfg.basezoom, cfg.droprate,
-                            cfg.basezoom_marker_width)
-        tiles = build_tiles_local(feats, cfg)
-        meta = build_metadata(feats, tiles, cfg, name=name,
-                              description=eng["description"],
-                              layer_descriptions=eng["layer_descriptions"])
-    else:
-        from .io.geojson import geojson_files_df
-        from .operators.stats import collect_layer_stats_spark
-        from .pipeline import build_tiles
-        from .session import get_spark
-
-        spark = get_spark(master=eng["master"] or "local[*]")
-        la = layer_arg()
-        # parse with the PRE-guess config (frozen copy): guessing
-        # mutates cfg (maxzoom/basezoom/droprate) but the reference
-        # imports once before guessing, so recomputation of the lazy
-        # parse must keep the import-time parameters
-        import copy as _copy
-
-        parse_cfg = _copy.deepcopy(cfg)
-        df = geojson_files_df(spark, eng["inputs"], parse_cfg, layer=la)
-        df = df.persist()
-        try:
+            la = layer_arg()
+            feats = []
+            for fi, path in enumerate(eng["inputs"]):
+                lname = la.get(path) if isinstance(la, dict) else la
+                feats += features_from_file(path, cfg, lname,
+                                            seq_start=fi << 40)
             if needs_guess:
-                from .operators.guess import resolve_guesses_spark
+                from .operators.guess import resolve_guesses
 
-                resolve_guesses_spark(df, cfg, cfg.guess_maxzoom_flag,
-                                      cfg.basezoom, cfg.droprate,
-                                      cfg.basezoom_marker_width)
-            layers = collect_layer_stats_spark(df, cfg)
-            file_bbox = _file_bbox_spark(spark, eng["inputs"], parse_cfg, la)
-            tiles_df = build_tiles(spark, df, cfg)
+                resolve_guesses(feats, cfg, cfg.guess_maxzoom_flag,
+                                cfg.basezoom, cfg.droprate,
+                                cfg.basezoom_marker_width)
+            tiles = build_tiles_local(feats, cfg)
+            meta = build_metadata(feats, tiles, cfg, name=name,
+                                  description=eng["description"],
+                                  layer_descriptions=eng["layer_descriptions"])
+        else:
+            from .io.geojson import geojson_files_df
+            from .operators.stats import collect_layer_stats_spark
+            from .pipeline import build_tiles
+            from .session import get_spark
 
-            # streaming export: the tileset never lands on the driver as
-            # a dict.  mbtiles is single-writer (one sqlite file,
-            # mbtiles.cpp db_lock) so tiles stream through
-            # toLocalIterator one partition at a time; dirtiles writes
-            # run distributed in the executors.  Both accumulate the
-            # busiest-maxzoom-tile stat for metadata on the way through.
+            spark = get_spark(master=eng["master"] or "local[*]")
+            la = layer_arg()
+            # parse with the PRE-guess config (frozen copy): guessing
+            # mutates cfg (maxzoom/basezoom/droprate) but the reference
+            # imports once before guessing, so recomputation of the lazy
+            # parse must keep the import-time parameters
+            import copy as _copy
+
+            parse_cfg = _copy.deepcopy(cfg)
+            df = geojson_files_df(spark, eng["inputs"], parse_cfg, layer=la)
+            df = df.persist()
+            try:
+                if needs_guess:
+                    from .operators.guess import resolve_guesses_spark
+
+                    resolve_guesses_spark(df, cfg, cfg.guess_maxzoom_flag,
+                                          cfg.basezoom, cfg.droprate,
+                                          cfg.basezoom_marker_width)
+                layers = collect_layer_stats_spark(df, cfg)
+                file_bbox = _file_bbox_spark(spark, eng["inputs"], parse_cfg, la)
+                tiles_df = build_tiles(spark, df, cfg)
+
+                # streaming export: the tileset never lands on the driver as
+                # a dict.  mbtiles is single-writer (one sqlite file,
+                # mbtiles.cpp db_lock) so tiles stream through
+                # toLocalIterator one partition at a time; dirtiles writes
+                # run distributed in the executors.  Both accumulate the
+                # busiest-maxzoom-tile stat for metadata on the way through.
+                if eng["output"]:
+                    from pyspark import StorageLevel
+
+                    from .io.mbtiles import (write_mbtiles_metadata,
+                                             write_mbtiles_stream)
+
+                    if eng["force"] and os.path.exists(eng["output"]):
+                        os.remove(eng["output"])
+                    # materialize the pyramid in PARALLEL (count on a
+                    # DISK_ONLY cache: the blocks are written once and
+                    # streamed back per partition — a memory-backed level
+                    # would try to re-heap whole evicted blocks during the
+                    # iterator scan, capping the tileset at executor
+                    # memory), then stream the cached partitions to the
+                    # single sqlite writer one at a time — toLocalIterator
+                    # alone would run the encode jobs serially per
+                    # partition
+                    tiles_df = tiles_df.persist(StorageLevel.DISK_ONLY)
+                    try:
+                        tiles_df.count()
+                        n_tiles, busiest = write_mbtiles_stream(
+                            eng["output"],
+                            ((r["z"], r["x"], r["y"], r["tile"], r["gops"])
+                             for r in tiles_df.toLocalIterator()),
+                            maxzoom=cfg.maxzoom)
+                    finally:
+                        tiles_df.unpersist()
+                else:
+                    from .io.dirtiles import write_dirtiles_spark
+
+                    n_tiles, busiest = write_dirtiles_spark(
+                        tiles_df, eng["outdir"], force=eng["force"],
+                        maxzoom=cfg.maxzoom,
+                        forcetable=eng["allow_existing"])
+            finally:
+                df.unpersist()
+            meta = build_metadata([], {}, cfg, name=name,
+                                  description=eng["description"],
+                                  layers=layers, file_bbox=file_bbox,
+                                  busiest=busiest,
+                                  layer_descriptions=eng["layer_descriptions"])
+            if eng["attribution"]:
+                meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359
             if eng["output"]:
-                from pyspark import StorageLevel
-
-                from .io.mbtiles import (write_mbtiles_metadata,
-                                         write_mbtiles_stream)
-
-                if eng["force"] and os.path.exists(eng["output"]):
-                    os.remove(eng["output"])
-                # materialize the pyramid in PARALLEL (count on a
-                # DISK_ONLY cache: the blocks are written once and
-                # streamed back per partition — a memory-backed level
-                # would try to re-heap whole evicted blocks during the
-                # iterator scan, capping the tileset at executor
-                # memory), then stream the cached partitions to the
-                # single sqlite writer one at a time — toLocalIterator
-                # alone would run the encode jobs serially per
-                # partition
-                tiles_df = tiles_df.persist(StorageLevel.DISK_ONLY)
-                try:
-                    tiles_df.count()
-                    n_tiles, busiest = write_mbtiles_stream(
-                        eng["output"],
-                        ((r["z"], r["x"], r["y"], r["tile"], r["gops"])
-                         for r in tiles_df.toLocalIterator()),
-                        maxzoom=cfg.maxzoom)
-                finally:
-                    tiles_df.unpersist()
+                write_mbtiles_metadata(eng["output"], meta)
             else:
-                from .io.dirtiles import write_dirtiles_spark
+                from .io.dirtiles import write_dirtiles
 
-                n_tiles, busiest = write_dirtiles_spark(
-                    tiles_df, eng["outdir"], force=eng["force"],
-                    maxzoom=cfg.maxzoom,
-                    forcetable=eng["allow_existing"])
-        finally:
-            df.unpersist()
-        meta = build_metadata([], {}, cfg, name=name,
-                              description=eng["description"],
-                              layers=layers, file_bbox=file_bbox,
-                              busiest=busiest,
-                              layer_descriptions=eng["layer_descriptions"])
+                write_dirtiles(eng["outdir"], {}, meta, force=True)
+            if not eng["quiet"]:
+                print(f"{n_tiles} tiles -> {eng['output'] or eng['outdir']}",
+                      file=sys.stderr)
+            return 0
+
         if eng["attribution"]:
             meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359
-        if eng["output"]:
-            write_mbtiles_metadata(eng["output"], meta)
-        else:
-            from .io.dirtiles import write_dirtiles
 
-            write_dirtiles(eng["outdir"], {}, meta, force=True)
+        if eng["output"]:
+            from .io.mbtiles import write_mbtiles
+
+            if eng["force"] and os.path.exists(eng["output"]):
+                os.remove(eng["output"])
+            write_mbtiles(eng["output"], tiles, meta)
+        else:
+            from .io.dirtiles import check_dir, write_dirtiles
+
+            # --force clears stale tiles of the previous build first
+            # (check_dir, dirtiles.cpp:66-105); -F writes into the
+            # existing tileset untouched
+            check_dir(eng["outdir"], force=eng["force"],
+                      forcetable=eng["allow_existing"])
+            write_dirtiles(eng["outdir"], tiles, meta, force=eng["force"])
         if not eng["quiet"]:
-            print(f"{n_tiles} tiles -> {eng['output'] or eng['outdir']}",
+            print(f"{len(tiles)} tiles -> {eng['output'] or eng['outdir']}",
                   file=sys.stderr)
         return 0
+    finally:
+        import shutil as _shutil
 
-    if eng["attribution"]:
-        meta["attribution"] = eng["attribution"]  # mbtiles.cpp:357-359
-
-    if eng["output"]:
-        from .io.mbtiles import write_mbtiles
-
-        if eng["force"] and os.path.exists(eng["output"]):
-            os.remove(eng["output"])
-        write_mbtiles(eng["output"], tiles, meta)
-    else:
-        from .io.dirtiles import check_dir, write_dirtiles
-
-        # --force clears stale tiles of the previous build first
-        # (check_dir, dirtiles.cpp:66-105); -F writes into the
-        # existing tileset untouched
-        check_dir(eng["outdir"], force=eng["force"],
-                  forcetable=eng["allow_existing"])
-        write_dirtiles(eng["outdir"], tiles, meta, force=eng["force"])
-    if not eng["quiet"]:
-        print(f"{len(tiles)} tiles -> {eng['output'] or eng['outdir']}",
-              file=sys.stderr)
-    return 0
+        for _p in _scratch:
+            try:
+                if os.path.isdir(_p):
+                    _shutil.rmtree(_p)
+                else:
+                    os.unlink(_p)
+            except OSError:
+                pass
 
 
 def decode_main(argv) -> int:
@@ -1203,6 +1226,37 @@ def jsontool_main(argv) -> int:
     pe = False
     spark_master = None
     inputs = []
+
+    # getopt-style bundling: split "-we name" / "-wc f.csv" / "-ename"
+    # the way getopt_long does with optstring "we:c:p:" (jsontool.cpp:425)
+    def _split_short(tokens):
+        noarg, witharg = {"w"}, {"e", "c", "p"}
+        out = []
+        for t in tokens:
+            if t.startswith("-") and not t.startswith("--") and len(t) > 2:
+                j = 1
+                ok = True
+                exp = []
+                while j < len(t):
+                    ch = t[j]
+                    if ch in noarg:
+                        exp.append("-" + ch)
+                        j += 1
+                    elif ch in witharg:
+                        exp.append("-" + ch)
+                        if t[j + 1:]:
+                            exp.append(t[j + 1:])
+                        j = len(t)
+                    else:
+                        ok = False
+                        break
+                if ok:
+                    out.extend(exp)
+                    continue
+            out.append(t)
+        return out
+
+    argv = _split_short(list(argv))
     i = 0
     try:
         while i < len(argv):

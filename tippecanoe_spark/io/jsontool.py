@@ -239,14 +239,30 @@ def walk_features(objs, fname: str = "input", stderr=None):
         if not isinstance(t, str) or isinstance(t, RawNum):
             return
         if st["features"] == 0 and t in GEOM_NAMES:
+            # jsonpull runs these hash_get probes THE MOMENT the
+            # candidate completes (geojson-loop.cpp:76-92), when the
+            # enclosing hash holds only the pairs parsed so far — a
+            # "geometry"/"geometries" key AFTER the candidate's own
+            # pair is invisible to it, so only keys at-or-before the
+            # candidate's position may veto
+            def _get_upto(obj, key, child):
+                for kv in obj.pairs:
+                    if kv[0] == key:
+                        return kv[1]
+                    if kv[1] is child:
+                        break
+                return MISSING
+
             is_geom = True
             if parent is not None:
                 if isinstance(parent, list) and isinstance(grandparent,
                                                            JsonObj):
-                    if grandparent.get("geometries") is not MISSING:
+                    if _get_upto(grandparent, "geometries",
+                                 parent) is not MISSING:
                         is_geom = False  # inside a GeometryCollection
                 elif isinstance(parent, JsonObj):
-                    if parent.get("geometry") is not MISSING:
+                    if _get_upto(parent, "geometry",
+                                 node) is not MISSING:
                         is_geom = False  # the geometry of a Feature
             if under_props:
                 is_geom = False
@@ -351,6 +367,16 @@ class CsvJoiner:
         else:
             joinkey = stringify(key)
 
+        fields = self.advance(joinkey)
+        if fields is not None:
+            _append_csv_fields(properties, self.header, fields, self.pe)
+
+    def advance(self, joinkey: str) -> list | None:
+        """Move the merge cursor for one feature key (sort-order errors
+        exactly as the reference, both sides); returns the matched CSV
+        row's fields, or None when the cursor yields no join — which on
+        out-of-sort input that escapes the fatal checks can differ from
+        a dict lookup (the cursor silently skips rows it passed)."""
         if _key_bytes(joinkey) < _key_bytes(self.prev_joinkey):
             raise JsonToolError(
                 f'GeoJSON file is out of sort: "{joinkey}" follows '
@@ -378,7 +404,8 @@ class CsvJoiner:
                     prevkey = self.fields[0]
 
         if self.fields and joinkey == self.fields[0]:
-            _append_csv_fields(properties, self.header, self.fields, self.pe)
+            return self.fields
+        return None
 
 
 def _append_csv_fields(properties: JsonObj, header, fields, pe: bool) -> None:
@@ -506,6 +533,30 @@ def run_jsontool_local(files, wrap: bool = False, extract: str | None = None,
 # ---------------------------------------------------------------------------
 # distributed path
 
+def _format_feature_line(node, kind: int, ext: str | None):
+    """Final output line for a walked node (extract wrapper or plain
+    stringify) — shared by the distributed kernel and the driver-side
+    divergence repair so both format identically.  Returns
+    (line, extract_found)."""
+    props = node.get("properties") if kind == 1 else MISSING
+    props = props if isinstance(props, JsonObj) else None
+    if ext is not None and kind == 1:
+        extracted = None
+        o = MISSING
+        if isinstance(props, JsonObj):
+            o = props.get(ext)
+        if o is not MISSING:
+            extracted = (sort_quote(str(o)) if isinstance(o, str)
+                         else sort_quote(stringify(o)))
+        line = '{"%s":%s}' % (
+            extracted if extracted is not None else sort_quote("null"),
+            stringify(node))
+        return line, extracted is not None
+    if ext is not None:
+        return '{"%s":%s}' % (sort_quote("null"), stringify(node)), False
+    return stringify(node), True
+
+
 def jsontool_spark(spark, paths, wrap: bool = False,
                    extract: str | None = None, csv_path: str | None = None,
                    pe: bool = False, stderr=None):
@@ -568,6 +619,7 @@ def jsontool_spark(spark, paths, wrap: bool = False,
                         walk_features(objs, r.path, stderr=sink)):
                     joinkey = None
                     has_key = False
+                    body_plain = None
                     if kind == 1 and hdr:
                         properties = node.get("properties")
                         key = MISSING
@@ -577,35 +629,20 @@ def jsontool_spark(spark, paths, wrap: bool = False,
                             has_key = True
                             joinkey = (str(key) if isinstance(key, str)
                                        else stringify(key))
+                            # pre-attach body, kept so the driver can
+                            # REBUILD this row if the real merge cursor
+                            # disagrees with the dict join (out-of-sort
+                            # input that escapes the fatal checks)
+                            body_plain = stringify(node)
                             fields = mp.get(joinkey)
                             if fields:
                                 _append_csv_fields(properties, hdr,
                                                    fields, pe_)
-                    props = node.get("properties")
-                    props = props if isinstance(props, JsonObj) else None
-                    if ext is not None and kind == 1:
-                        extracted = None
-                        o = MISSING
-                        if isinstance(props, JsonObj):
-                            o = props.get(ext)
-                        if o is not MISSING:
-                            extracted = (sort_quote(str(o))
-                                         if isinstance(o, str)
-                                         else sort_quote(stringify(o)))
-                        line = '{"%s":%s}' % (
-                            extracted if extracted is not None
-                            else sort_quote("null"), stringify(node))
-                        found = extracted is not None
-                    elif ext is not None:
-                        line = '{"%s":%s}' % (sort_quote("null"),
-                                              stringify(node))
-                        found = False
-                    else:
-                        line = stringify(node)
-                        found = True
+                    line, found = _format_feature_line(node, kind, ext)
                     rows.append({"fidx": int(r.fidx), "seq": seq,
                                  "kind": kind, "line": line,
                                  "joinkey": joinkey, "has_key": has_key,
+                                 "body_plain": body_plain,
                                  "extract_found": found})
                 if rows:
                     yield pd.DataFrame(rows)
@@ -613,18 +650,25 @@ def jsontool_spark(spark, paths, wrap: bool = False,
     out = files_df.mapInPandas(
         part, schema="fidx long, seq long, kind int, line string, "
                      "joinkey string, has_key boolean, "
-                     "extract_found boolean").orderBy("fidx", "seq")
+                     "body_plain string, extract_found boolean") \
+        .orderBy("fidx", "seq")
 
     ost = _OutState()
     joiner = CsvJoiner(csv_text, pe, stderr=stderr) if csv_text is not None \
         else None
     warned_key = False
     for row in out.toLocalIterator():
+        line = row["line"]
+        found = row["extract_found"]
         if joiner is not None and row["kind"] == 1:
             # replay the reference's merge cursor over the key sequence
-            # only: validates sort order (both sides) with the exact
-            # reference errors and emits its warnings; the attribute
-            # attach already happened distributed.
+            # (in output order): validates sort order with the exact
+            # reference errors, and yields the row the CURSOR would
+            # join — on out-of-sort input that escapes the fatal
+            # checks, that can differ from the broadcast dict the
+            # distributed attach used (the cursor silently skips rows
+            # it already passed), so divergent rows are rebuilt here
+            # from the pre-attach body.
             if not joiner.header:
                 s = joiner._getline()
                 if not s:
@@ -638,49 +682,25 @@ def jsontool_spark(spark, paths, wrap: bool = False,
                           f'"{joiner.header[0]}" in JSON', file=stderr)
                     warned_key = True
             else:
-                joiner.advance_only(row["joinkey"])
+                cursor_fields = joiner.advance(row["joinkey"])
+                dict_fields = mapping.get(row["joinkey"])
+                if cursor_fields != dict_fields:
+                    node = parse_stream_objects(row["body_plain"])[0]
+                    if cursor_fields is not None:
+                        _append_csv_fields(node.get("properties"),
+                                           joiner.header, cursor_fields,
+                                           joiner.pe)
+                    line, found = _format_feature_line(node, 1, extract)
         if extract is not None:
-            if not row["extract_found"] and not ost.warned_extract:
+            if not found and not ost.warned_extract:
                 print(f'Warning: extract key "{extract}" not found in JSON',
                       file=stderr)
                 ost.warned_extract = True
-            yield row["line"]
+            yield line
             continue
         if not wrap:
-            yield row["line"]
+            yield line
             continue
-        yield from _out_lines(ost, row["line"], row["kind"], None,
+        yield from _out_lines(ost, line, row["kind"], None,
                               True, None, stderr)
     yield from _out_flush(ost)
-
-
-def _advance_only(self, joinkey: str) -> None:
-    """Cursor replay for jsontool_spark: identical movement and error
-    behavior to join(), without touching feature properties."""
-    if _key_bytes(joinkey) < _key_bytes(self.prev_joinkey):
-        raise JsonToolError(
-            f'GeoJSON file is out of sort: "{joinkey}" follows '
-            f'"{self.prev_joinkey}"')
-    self.prev_joinkey = joinkey
-    if not self.fields or _key_bytes(joinkey) > _key_bytes(self.fields[0]):
-        prevkey = self.fields[0] if self.fields else ""
-        while True:
-            s = self._getline()
-            if not s:
-                self.fields = []
-                break
-            err = self._check_utf8(s)
-            if err:
-                raise JsonToolError(err)
-            self.fields = [self._dequote(f) for f in self._split(s)]
-            if self.fields and _key_bytes(self.fields[0]) < _key_bytes(prevkey):
-                raise JsonToolError(
-                    f'CSV file is out of sort: "{self.fields[0]}" '
-                    f'follows "{prevkey}"')
-            if self.fields and _key_bytes(self.fields[0]) >= _key_bytes(joinkey):
-                break
-            if self.fields:
-                prevkey = self.fields[0]
-
-
-CsvJoiner.advance_only = _advance_only

@@ -366,13 +366,17 @@ def encode_gif(frames, palette: np.ndarray, delay_cs: int = 10) -> bytes:
 
 
 def decode_gif(payload: bytes):
-    """(frames list of HxW uint8 index arrays, palette (N, 3) uint8,
-    delays list of centiseconds) from GIF87a/89a bytes.
+    """(frames list of HxW uint8 index arrays, palettes list of (N, 3)
+    uint8 — one PER FRAME, the local color table when present else the
+    global one — and delays list of centiseconds) from GIF87a/89a bytes.
 
     Handles sub-rectangle frames by composing onto the previous
     canvas; interlace raises (rare in animation corpora, better
-    normalized upstream).  Transparency indices are kept as-is (the
-    index raster is returned, not a composited RGBA)."""
+    normalized upstream).  Sub-rectangle composition across frames
+    with DIFFERENT palettes also raises: the canvas holds indices, so
+    mixing tables would silently mis-color — an RGB-space compositor
+    belongs upstream.  Transparency indices are kept as-is (the index
+    raster is returned, not a composited RGBA)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
@@ -384,6 +388,7 @@ def decode_gif(payload: bytes):
             payload[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     frames = []
+    palettes = []
     delays = []
     delay = 0
     while pos < len(payload):
@@ -408,12 +413,11 @@ def decode_gif(payload: bytes):
         pos += 9
         if iflags & 0x40:
             raise NotImplementedError("interlaced GIF")
-        if iflags & 0x80:  # local color table
+        frame_pal = palette
+        if iflags & 0x80:  # local color table overrides the global one
             n = 2 << (iflags & 7)
-            pal = np.frombuffer(
+            frame_pal = np.frombuffer(
                 payload[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
-            if palette is None:
-                palette = pal
             pos += 3 * n
         mcs = payload[pos]
         pos += 1
@@ -426,16 +430,23 @@ def decode_gif(payload: bytes):
         idx = np.frombuffer(
             _lzw_decode(bytes(raw), mcs, fw * fh), dtype=np.uint8)
         frame = idx.reshape(fh, fw)
+        if frame_pal is None:
+            raise NotImplementedError("GIF frame without any color table")
         if (fx, fy, fw, fh) != (0, 0, w, h):  # compose onto full canvas
+            if palettes and not np.array_equal(palettes[-1], frame_pal):
+                raise NotImplementedError(
+                    "sub-rectangle frame with a different palette than "
+                    "the canvas it composes onto")
             canvas = (frames[-1].copy() if frames
                       else np.zeros((h, w), dtype=np.uint8))
             canvas[fy:fy + fh, fx:fx + fw] = frame
             frame = canvas
         frames.append(frame)
+        palettes.append(frame_pal)
         delays.append(delay)
-    if palette is None:
-        raise NotImplementedError("GIF without any color table")
-    return frames, palette, delays
+    if not frames:
+        raise NotImplementedError("GIF with no image frames")
+    return frames, palettes, delays
 
 
 MEDIA_SCHEMA_DDL = (
@@ -590,7 +601,7 @@ def sample_gif_frames(payload: bytes, every_ms: int, cap: int = 16):
     2*every_ms, ... along the delay timeline (zero-delay frames count
     as 10 cs, the de-facto browser rule); returns a list of
     (frame_idx, HxWx3 uint8 RGB frame)."""
-    frames, palette, delays = decode_gif(payload)
+    frames, palettes, delays = decode_gif(payload)
     ends = np.cumsum([(d if d > 0 else 10) * 10 for d in delays])
     total = int(ends[-1])
     out = []
@@ -599,7 +610,7 @@ def sample_gif_frames(payload: bytes, every_ms: int, cap: int = 16):
             break
         fi = int(np.searchsorted(ends, t, side="right"))
         fi = min(fi, len(frames) - 1)
-        out.append((fi, palette[frames[fi]]))
+        out.append((fi, palettes[fi][frames[fi]]))
     return out
 
 

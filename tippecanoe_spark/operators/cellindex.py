@@ -140,11 +140,15 @@ def h3_to_parent_sql(h: str, parent_res: int) -> str:
             "AS BIGINT)")
 
 
-def h3_is_valid_sql(h: str) -> str:
-    """h3IsValid as one boolean expression: cell mode, zeroed reserved
-    bits, base cell < 122, digits 1..res in 0..6, digits res+1..15 all
-    7, and the pentagon deleted-K-subsequence rule (first nonzero digit
-    of a pentagon cell may not be 1)."""
+def h3_is_valid_checks(h: str) -> list:
+    """h3IsValid as a LIST of independent boolean expressions (AND of
+    all = valid): cell mode, zeroed reserved bits, base cell < 122,
+    digits 1..res in 0..6, digits res+1..15 all 7, and the pentagon
+    deleted-K-subsequence rule (first nonzero digit of a pentagon cell
+    may not be 1).  Kept as separate checks so a Spark caller can apply
+    them as chained filters — as ONE expression the generated Java
+    method exceeds janino's 64 KB limit and the whole stage falls back
+    to interpreted mode (~10x slower, observed in BENCH_r05)."""
     res = h3_resolution_sql(h)
     bc = h3_base_cell_sql(h)
     checks = [
@@ -163,7 +167,13 @@ def h3_is_valid_sql(h: str) -> str:
     first_nz = f"coalesce({', '.join(eff)}, 0)"
     pent = " OR ".join(f"{bc} = {p}" for p in H3_PENTAGONS)
     checks.append(f"(NOT ({pent}) OR {first_nz} <> 1)")
-    return "(" + " AND ".join(checks) + ")"
+    return checks
+
+
+def h3_is_valid_sql(h: str) -> str:
+    """h3IsValid as one boolean expression (engine-neutral SQL for the
+    DuckDB oracle; Spark callers should prefer h3_is_valid_checks)."""
+    return "(" + " AND ".join(h3_is_valid_checks(h)) + ")"
 
 
 def h3_parent_rollup(df, h3col: str, parent_res: int, extra: tuple = ()):
