@@ -224,6 +224,47 @@ def q_s2_parent_rollup(spark, sf_dir):
     return s2_parent_rollup(valid, "s2", 4)
 
 
+def q_s2_containment(spark, sf_dir):
+    """S2 containment join (r5): points (leaf ids) joined to a small
+    region cover — the level-2 ancestors of the first 25 events' cells
+    — via operators/s2cell.s2_containment_join's equi path: the region
+    side BROADCASTS and the join key is parent-at-level bit math, so a
+    10^12-row point table joins a region cover with no range join and
+    no extra shuffle beyond the final rollup."""
+    from pyspark.sql import functions as F
+
+    from tippecanoe_spark.operators.s2cell import (s2_containment_join,
+                                                   s2_parent_sql)
+
+    ev = _load(spark, sf_dir, "events")
+    h60 = ("cast(conv(substring(md5(cast(event_id AS string)), 1, 15), "
+           "16, 10) AS BIGINT)")
+    pts = ev.selectExpr("event_id", f"{_s2_synth_sql(h60)} AS s2")
+    cells = (pts.filter("event_id < 25")
+             .selectExpr(f"{s2_parent_sql('s2', 2)} AS cell").distinct())
+    joined = s2_containment_join(pts, cells, idcol="s2", level=2)
+    return (joined.groupBy("cell")
+            .agg(F.count("*").alias("points"),
+                 F.expr("cast(count(DISTINCT event_id) AS BIGINT)")
+                 .alias("dist_events"))
+            .selectExpr("cell AS s2_cell", "points", "dist_events"))
+
+
+def _s2_containment_oracle_sql() -> str:
+    from tippecanoe_spark.operators.s2cell import s2_parent_sql
+
+    h60 = ("(('0x' || substring(md5(cast(event_id AS varchar)), 1, 15))"
+           "::BIGINT)")
+    return ("WITH pts AS (SELECT event_id, " + _s2_synth_sql(h60)
+            + " AS s2 FROM events), "
+            "cells AS (SELECT DISTINCT " + s2_parent_sql("s2", 2)
+            + " AS cell FROM pts WHERE event_id < 25) "
+            "SELECT cell AS s2_cell, count(*) AS points, "
+            "cast(count(DISTINCT event_id) AS BIGINT) AS dist_events "
+            "FROM pts JOIN cells ON " + s2_parent_sql("s2", 2)
+            + " = cell GROUP BY 1")
+
+
 def _s2_oracle_sql() -> str:
     """DuckDB twin of q_s2_parent_rollup — the SAME expression strings
     from operators/s2cell.py, only the hex-parse spelling differs."""
@@ -1196,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": q_hex_density,
         "h3_parent_rollup": q_h3_parent_rollup,
         "s2_parent_rollup": q_s2_parent_rollup,
+        "s2_containment": q_s2_containment,
         "feature_minzoom": q_feature_minzoom,
         "zoom_rollup": q_zoom_rollup,
         "bbox": q_bbox,
@@ -1304,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS cnt FROM exy GROUP BY 1, 2",
         "h3_parent_rollup": _h3_oracle_sql(),
         "s2_parent_rollup": _s2_oracle_sql(),
+        "s2_containment": _s2_containment_oracle_sql(),
         "feature_minzoom": xy + f", r AS (SELECT event_id, "
         f"row_number() OVER (ORDER BY {_QK_DUCK}, event_id) AS rank FROM exy) "
         f"SELECT {mz} AS minzoom, count(*) AS n FROM r GROUP BY 1",
