@@ -145,3 +145,48 @@ def test_ivf_probed_fraction(spark):
     avg = sum(r["n"] for r in per_q) / len(per_q)
     # 2 of 8 lists -> expect ~25% of the corpus per query, not ~100%
     assert avg <= 0.6 * n_cand, f"avg scored pairs {avg} not sublinear"
+
+
+def test_text_near_dup_recall_planted(spark, tmp_path):
+    """The r=2 banded MinHash text pipeline (q_dedup_near_verified)
+    must still FIND real near-duplicates after the r5 candidate-
+    tightening: documents sharing ~90% of their bigrams (one word in
+    ten swapped) are planted in a random-text corpus and every planted
+    pair must survive candidates + exact-Jaccard verification."""
+    import random
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(5)
+    vocab = [f"w{k}" for k in range(5000)]  # big vocab: low base overlap
+    rows = []
+    planted = set()
+    doc_id = 0
+    for pair in range(20):
+        base = [rng.choice(vocab) for _ in range(60)]
+        near = list(base)
+        for _ in range(6):  # swap ~10% of tokens
+            near[rng.randrange(len(near))] = rng.choice(vocab)
+        rows.append((doc_id, " ".join(base)))
+        rows.append((doc_id + 1, " ".join(near)))
+        planted.add((doc_id, doc_id + 1))
+        doc_id += 2
+    for _ in range(400):  # unrelated noise docs
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(60))))
+        doc_id += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    out = tmp_path / "documents.parquet"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(out))
+    # the query loads <sf_dir>/documents.parquet
+    got = entrymod.q_dedup_near_verified(spark, str(tmp_path)).collect()
+    found = {(r["d1"], r["d2"]) for r in got if r["jaccard"] >= 0.5}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, (recall, sorted(planted - found)[:5])
+    # and the verifier keeps noise out: nothing unplanted at j >= 0.5
+    assert not (found - planted)
