@@ -102,12 +102,12 @@ def q_hex_density(spark, sf_dir):
     return hex_density(_events_xy(spark, sf_dir), res=8)
 
 
-def _h3_synth_sql(h64: str, div: str) -> str:
+def _h3_synth_sql(h64: str) -> str:
     """A VALID standard-bit-layout H3 cell id (mode 1, res 9, non-
-    pentagon base cell, aperture-7 digits 1..9 from the base-7
-    expansion of a 60-bit hash, digits 10..15 = 7) as one integer
-    expression; `div` is the engine's integer-division spelling.
-    Fields are bit-disjoint so plain + assembles them."""
+    pentagon base cell, aperture-7 digits 1..9 from 3-bit slices of a
+    60-bit hash, digits 10..15 = 7) as one integer expression, valid
+    verbatim in Spark SQL and DuckDB.  Fields are bit-disjoint so
+    plain + assembles them."""
     from tippecanoe_spark.operators.cellindex import H3_PENTAGONS
 
     bc_raw = f"({h64} % 122)"
@@ -134,7 +134,7 @@ def _h3_oracle_sql() -> str:
 
     h64 = ("(('0x' || substring(md5(cast(event_id AS varchar)), 1, 15))"
            "::BIGINT)")
-    synth = _h3_synth_sql(h64, "//")
+    synth = _h3_synth_sql(h64)
     return ("WITH keyed AS (SELECT " + synth + " AS h3 FROM events), "
             "valid AS (SELECT h3 FROM keyed WHERE " + h3_is_valid_sql("h3")
             + " AND " + h3_resolution_sql("h3") + " = 9) "
@@ -173,7 +173,7 @@ def q_h3_parent_rollup(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     h64 = ("cast(conv(substring(md5(cast(event_id AS string)), 1, 15), "
            "16, 10) AS BIGINT)")
-    keyed = (ev.selectExpr(f"{_h3_synth_sql(h64, 'DIV')} AS h3")
+    keyed = (ev.selectExpr(f"{_h3_synth_sql(h64)} AS h3")
              .groupBy("h3")
              .agg(F.count("*").alias("c"), F.min("h3").alias("h3v"))
              .select("h3v", "c"))
@@ -517,6 +517,33 @@ def q_minhash_bands(spark, sf_dir):
     return cand.groupBy("bucket").agg(F.count("*").alias("n_buckets"))
 
 
+def _banded_candidates(sh, seed_prefix: str):
+    """MinHash candidate pairs from a (doc_id, shingle) relation with
+    r=2 banding: per band b, two independent min-hash families
+    ("<prefix><b>a:" / "<prefix><b>b:"); a pair is a candidate only
+    when BOTH mins of some band agree.  The 4 band columns melt into
+    (band, band_val) rows and self-join ONCE — identical subplans on
+    both sides so the shuffle is computed once and reused
+    (ReusedExchange); a per-band union of self-joins re-evaluated the
+    shingle aggregation 8 times (~19 s at sf0.1 in BENCH_r05).
+    Returns (d1, d2, sz1, sz2) distinct pairs, d1 < d2."""
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{seed_prefix}{b}{t}:"),
+                               F.col("shingle")))).alias(f"mh{b}{t}")
+          for b in range(4) for t in ("a", "b")],
+        F.count("*").alias("sz"),
+    )
+    melted = mh.selectExpr(
+        "doc_id", "sz",
+        "stack(4, " + ", ".join(
+            f"{b}, concat(mh{b}a, '|', mh{b}b)" for b in range(4))
+        + ") AS (band, band_val)")
+    a = melted.selectExpr("doc_id AS d1", "sz AS sz1", "band", "band_val")
+    c = melted.selectExpr("doc_id AS d2", "sz AS sz2", "band", "band_val")
+    return (a.join(c, ["band", "band_val"]).filter("d1 < d2")
+            .select("d1", "d2", "sz1", "sz2").distinct())
+
+
 def q_dedup_near_verified(spark, sf_dir):
     """The full near-dup pipeline shape: MinHash band candidates
     (band-restricted pair generation — no all-pairs) verified with
@@ -530,31 +557,7 @@ def q_dedup_near_verified(spark, sf_dir):
         "i -> concat(w[i], ' ', w[i + 1])))) AS shingle",
     )
     # 4 bands: min(md5(seed || shingle)) per band
-    # r=2 banding (two independent min-hash families per band): a pair
-    # is a candidate only when BOTH mins of some band agree — the r=1
-    # form made nearly everything a candidate on the tiny synthetic
-    # vocabulary (600k verified pairs / ~18 s at sf0.1 in BENCH_r05)
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"b{b}{t}:"), F.col("shingle")))
-                ).alias(f"mh{b}{t}")
-          for b in range(4) for t in ("a", "b")],
-        F.count("*").alias("sz"),
-    )
-    # melt the 4 band columns into (band, band_val) rows and self-join
-    # ONCE on (band, band_val): the old per-band union of 4 self-joins
-    # re-evaluated the (shingle-explode + md5-min) aggregation 8 times
-    # (dedup_near_verified measured ~19 s in BENCH_r05); with identical
-    # subplans on both join sides the shuffle is computed once and
-    # reused (ReusedExchange)
-    melted = mh.selectExpr(
-        "doc_id", "sz",
-        "stack(4, " + ", ".join(
-            f"{b}, concat(mh{b}a, '|', mh{b}b)" for b in range(4))
-        + ") AS (band, band_val)")
-    a = melted.selectExpr("doc_id AS d1", "sz AS sz1", "band", "band_val")
-    c = melted.selectExpr("doc_id AS d2", "sz AS sz2", "band", "band_val")
-    cand = (a.join(c, ["band", "band_val"]).filter("d1 < d2")
-            .select("d1", "d2", "sz1", "sz2").distinct())
+    cand = _banded_candidates(sh, "b")
     # exact verification: intersect shingle sets of candidate pairs only
     inter = (
         cand.join(sh.selectExpr("doc_id AS d1", "shingle"), "d1")
@@ -728,31 +731,7 @@ def q_ngram_jaccard(spark, sf_dir):
         "explode(array_distinct(transform(sequence(0, size(w) - 3), "
         "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])))) AS shingle",
     )
-    # r=2 banding (two independent min-hash families per band): a pair
-    # is a candidate only when BOTH mins of some band agree — the r=1
-    # form made nearly everything a candidate on the tiny synthetic
-    # vocabulary (600k verified pairs / ~18 s at sf0.1 in BENCH_r05)
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"t{b}{t}:"), F.col("shingle")))
-                ).alias(f"mh{b}{t}")
-          for b in range(4) for t in ("a", "b")],
-        F.count("*").alias("sz"),
-    )
-    # melt the 4 band columns into (band, band_val) rows and self-join
-    # ONCE on (band, band_val): the old per-band union of 4 self-joins
-    # re-evaluated the (shingle-explode + md5-min) aggregation 8 times
-    # (dedup_near_verified measured ~19 s in BENCH_r05); with identical
-    # subplans on both join sides the shuffle is computed once and
-    # reused (ReusedExchange)
-    melted = mh.selectExpr(
-        "doc_id", "sz",
-        "stack(4, " + ", ".join(
-            f"{b}, concat(mh{b}a, '|', mh{b}b)" for b in range(4))
-        + ") AS (band, band_val)")
-    a = melted.selectExpr("doc_id AS d1", "sz AS sz1", "band", "band_val")
-    c = melted.selectExpr("doc_id AS d2", "sz AS sz2", "band", "band_val")
-    cand = (a.join(c, ["band", "band_val"]).filter("d1 < d2")
-            .select("d1", "d2", "sz1", "sz2").distinct())
+    cand = _banded_candidates(sh, "t")
     inter = (
         cand.join(sh.selectExpr("doc_id AS d1", "shingle"), "d1")
         .join(sh.selectExpr("doc_id AS d2", "shingle"), ["d2", "shingle"])

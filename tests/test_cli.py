@@ -545,6 +545,10 @@ def test_cli_minzoom_above_maxzoom_fatal():
     assert options_to_config("-d10 -m12").min_detail == 10
     # -zg presets maxzoom to 24 first (main.cpp:2742), so -Z up to 24 is fine
     assert options_to_config("-zg -Z20").minzoom == 20
+    # -d0 is normalized to 12 BEFORE the min_detail clamp
+    # (main.cpp:3081-3083), keeping min_detail at its default 7
+    c = options_to_config("-d0 -z14")
+    assert c.full_detail == 12 and c.min_detail == 7
 
 
 @requires_reference

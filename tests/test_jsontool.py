@@ -142,6 +142,21 @@ def test_jsontool_bundled_short_options(tmp_path):
         rrc, rout = _ref([*args, str(f)])
         orc, oout = _ours([*args, str(f)])
         assert (orc, oout) == (rrc, rout), args
+    # getopt consumes the NEXT token verbatim as an option argument even
+    # when it starts with '-': "-e -we" extracts the key "-we", it is
+    # NOT bundled -w -e (r5 regression: a context-free splitter mangled
+    # it and silently read stdin)
+    f2 = tmp_path / "dash.json"
+    f2.write_text('{"type":"Feature","properties":{"-we":"x"},'
+                  '"geometry":{"type":"Point","coordinates":[1,1]}}\n')
+    rrc, rout = _ref(["-e", "-we", str(f2)])
+    orc, oout = _ours(["-e", "-we", str(f2)])
+    assert (orc, oout) == (rrc, rout)
+    # "-pe -c <file>": -c consumes the file as its CSV argument, leaving
+    # no inputs — both sides fall back to (empty) stdin, rc 0
+    rrc, rout = _ref(["-pe", "-c", str(f2)], stdin=b"")
+    orc, oout = _ours(["-pe", "-c", str(f2)], stdin_text="")
+    assert (orc, oout) == (rrc, rout)
 
 
 @requires_jsontool

@@ -81,9 +81,11 @@ CASES = [
     ("muni/muni.json", "muni", "-Z11 -z13 -M10000 -pd", True),
     ("muni/muni.json", "muni", "-z6 -O50 -pd", True),
     # -m above -d: the reference clamps min_detail down to full_detail
-    # (main.cpp:3085-3088), so low-zoom tiles (whose ladder starts at
-    # low_detail 12) may still descend to detail 10 under -M pressure
-    ("muni/muni.json", "muni", "-z6 -d10 -m12 -M2000", True),
+    # (main.cpp:3085-3088), so low-zoom tiles (ladder starts at
+    # low_detail 12) may descend BELOW the requested -m12 under -M
+    # pressure — this config produces extent-2048 (detail 11) tiles,
+    # unreachable without the clamp
+    ("tl_2018_51685_roads/in.json", "in", "-z8 -d10 -m12 -M4500", True),
     ("muni/muni.json", "muni", "-z6 -M2000 -pd --extend-zooms-if-still-dropping", True),
     ("nullisland/in.json", "in", "-z5 --no-tiny-polygon-reduction", True),
     # --calculate-feature-density (density spacing persists across

@@ -383,6 +383,8 @@ def options_to_config(options, maxzoom_default: int = 14):
         raise ValueError(f"unsupported option: {t}")
     # "Highest supported zoom" clamps (main.cpp:3085-3110): detail-based
     # caps only without -zg; the MAX_ZOOM=24 cap unconditionally
+    if cfg.full_detail <= 0:
+        cfg.full_detail = 12  # main.cpp:3081-3083
     if cfg.full_detail < cfg.min_detail:
         cfg.min_detail = cfg.full_detail  # main.cpp:3085-3088
     if cfg.low_detail < cfg.min_detail:
@@ -1227,73 +1229,58 @@ def jsontool_main(argv) -> int:
     spark_master = None
     inputs = []
 
-    # getopt-style bundling: split "-we name" / "-wc f.csv" / "-ename"
-    # the way getopt_long does with optstring "we:c:p:" (jsontool.cpp:425)
-    def _split_short(tokens):
-        noarg, witharg = {"w"}, {"e", "c", "p"}
-        out = []
-        for t in tokens:
-            if t.startswith("-") and not t.startswith("--") and len(t) > 2:
-                j = 1
-                ok = True
-                exp = []
-                while j < len(t):
-                    ch = t[j]
-                    if ch in noarg:
-                        exp.append("-" + ch)
-                        j += 1
-                    elif ch in witharg:
-                        exp.append("-" + ch)
-                        if t[j + 1:]:
-                            exp.append(t[j + 1:])
-                        j = len(t)
-                    else:
-                        ok = False
-                        break
-                if ok:
-                    out.extend(exp)
-                    continue
-            out.append(t)
-        return out
-
-    argv = _split_short(list(argv))
+    # getopt_long("we:c:p:") scan (jsontool.cpp:425): bundled shorts
+    # ("-we name", "-ename") split IN-SCAN so an arg-taking option
+    # consumes the NEXT token verbatim — even one starting with '-'
+    # ("-e -we" means extract key "-we", not bundled -w -e)
+    argv = list(argv)
     i = 0
     try:
         while i < len(argv):
             t = argv[i]
-            if t in ("-w", "--wrap"):
+            if t == "--wrap":
                 wrap = True
-            elif t == "-e" or t == "--extract":
+            elif t == "--extract":
                 extract = argv[i + 1]
                 i += 1
             elif t.startswith("--extract="):
                 extract = t.split("=", 1)[1]
-            elif t == "-c" or t == "--csv":
+            elif t == "--csv":
                 csv_path = argv[i + 1]
                 i += 1
             elif t.startswith("--csv="):
                 csv_path = t.split("=", 1)[1]
             elif t == "--empty-csv-columns-are-null":
                 pe = True
-            elif t == "-p":
-                if argv[i + 1] != "e":
-                    print(f"json-tool: Unknown option for -p{argv[i + 1]}",
-                          file=sys.stderr)
-                    return 1
-                pe = True
-                i += 1
-            elif t.startswith("-p") and len(t) > 2:
-                if t[2:] != "e":
-                    print(f"json-tool: Unknown option for -p{t[2:]}",
-                          file=sys.stderr)
-                    return 1
-                pe = True
             elif t == "--spark-master":
                 spark_master = argv[i + 1]
                 i += 1
-            elif t.startswith("-") and t != "-":
-                print(f"Unexpected option {t}", file=sys.stderr)
-                return 1
+            elif t.startswith("-") and t != "-" and not t.startswith("--"):
+                j = 1
+                while j < len(t):
+                    ch = t[j]
+                    if ch == "w":
+                        wrap = True
+                        j += 1
+                        continue
+                    if ch not in ("e", "c", "p"):
+                        print(f"Unexpected option -{ch}", file=sys.stderr)
+                        return 1
+                    arg = t[j + 1:]
+                    if not arg:
+                        arg = argv[i + 1]
+                        i += 1
+                    if ch == "e":
+                        extract = arg
+                    elif ch == "c":
+                        csv_path = arg
+                    else:  # -p: only 'e' is known
+                        if arg != "e":
+                            print(f"json-tool: Unknown option for -p{arg}",
+                                  file=sys.stderr)
+                            return 1
+                        pe = True
+                    break
             else:
                 inputs.append(t)
             i += 1

@@ -629,13 +629,16 @@ def jsontool_spark(spark, paths, wrap: bool = False,
                             has_key = True
                             joinkey = (str(key) if isinstance(key, str)
                                        else stringify(key))
-                            # pre-attach body, kept so the driver can
-                            # REBUILD this row if the real merge cursor
-                            # disagrees with the dict join (out-of-sort
-                            # input that escapes the fatal checks)
-                            body_plain = stringify(node)
                             fields = mp.get(joinkey)
                             if fields:
+                                # pre-attach body, kept so the driver
+                                # can REBUILD this row if the real merge
+                                # cursor disagrees with the dict join
+                                # (out-of-sort input that escapes the
+                                # fatal checks).  Divergence requires
+                                # the key to EXIST in the CSV, so
+                                # unjoined rows ship no duplicate body.
+                                body_plain = stringify(node)
                                 _append_csv_fields(properties, hdr,
                                                    fields, pe_)
                     line, found = _format_feature_line(node, kind, ext)
@@ -674,8 +677,13 @@ def jsontool_spark(spark, paths, wrap: bool = False,
                 if not s:
                     raise JsonToolError(
                         "Couldn't get column header from CSV file")
+                err = joiner._check_utf8(s)
+                if err:
+                    raise JsonToolError(err)
                 joiner.header = [joiner._dequote(h)
                                  for h in joiner._split(s)]
+                if not joiner.header:
+                    raise JsonToolError(f'No columns in CSV header "{s}"')
             if not row["has_key"]:
                 if not warned_key:
                     print(f'Warning: couldn\'t find CSV key '
