@@ -549,6 +549,13 @@ def test_cli_minzoom_above_maxzoom_fatal():
     # (main.cpp:3081-3083), keeping min_detail at its default 7
     c = options_to_config("-d0 -z14")
     assert c.full_detail == 12 and c.min_detail == 7
+    # getopt attaches the rest of the token verbatim: "-d-4" means
+    # optarg "-4" (then normalized to 12), byte-parity-checked vs the
+    # binary; non-numeric attachments still error
+    assert options_to_config("-d-4 -z5").full_detail == 12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        options_to_config("-dx")
 
 
 @requires_reference

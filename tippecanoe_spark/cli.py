@@ -31,6 +31,16 @@ import shlex
 import sys
 
 
+def _numarg(v: str, dot: bool = False) -> bool:
+    """True when v is a numeric attached optarg — getopt attaches the
+    rest of the token verbatim, so negatives like "-d-4" are valid and
+    must parse like the separate-token spelling "-d -4"."""
+    import re as _re
+
+    pat = r"-?\d+(\.\d+)?" if dot else r"-?\d+"
+    return bool(_re.fullmatch(pat, v))
+
+
 def options_to_config(options, maxzoom_default: int = 14):
     """Map tippecanoe CLI options to TileConfig.  `options` is a string
     (shlex-split) or a pre-split token list.  Unknown options raise
@@ -199,52 +209,52 @@ def options_to_config(options, maxzoom_default: int = 14):
                 cfg.droprate = -2.0
             i += 1
             continue
-        if t == "-z" or t.startswith("-z") and t[2:].isdigit():
+        if t == "-z" or t.startswith("-z") and _numarg(t[2:]):
             cfg.maxzoom = int(toks[i + 1]) if t == "-z" else int(t[2:])
             i += 2 if t == "-z" else 1
             continue
-        if t == "-Z" or (t.startswith("-Z") and t[2:].isdigit()):
+        if t == "-Z" or (t.startswith("-Z") and _numarg(t[2:])):
             cfg.minzoom = int(toks[i + 1]) if t == "-Z" else int(t[2:])
             i += 2 if t == "-Z" else 1
             continue
-        if t == "-B" or (t.startswith("-B") and t[2:].replace(".", "").isdigit()):
+        if t == "-B" or (t.startswith("-B") and _numarg(t[2:], dot=True)):
             cfg.basezoom = int(float(toks[i + 1])) if t == "-B" else int(float(t[2:]))
             explicit_basezoom = True
             i += 2 if t == "-B" else 1
             continue
-        if t == "-r" or (t.startswith("-r") and t[2:].replace(".", "").isdigit()):
+        if t == "-r" or (t.startswith("-r") and _numarg(t[2:], dot=True)):
             cfg.droprate = float(toks[i + 1]) if t == "-r" else float(t[2:])
             i += 2 if t == "-r" else 1
             continue
-        if t == "-g" or (t.startswith("-g") and t[2:].replace(".", "").isdigit()):
+        if t == "-g" or (t.startswith("-g") and _numarg(t[2:], dot=True)):
             cfg.gamma = float(toks[i + 1]) if t == "-g" else float(t[2:])
             i += 2 if t == "-g" else 1
             continue
-        if t == "-b" or (t.startswith("-b") and t[2:].isdigit()):
+        if t == "-b" or (t.startswith("-b") and _numarg(t[2:])):
             cfg.buffer = int(toks[i + 1]) if t == "-b" else int(t[2:])
             i += 2 if t == "-b" else 1
             continue
-        if t == "-d" or (t.startswith("-d") and t[2:].isdigit()):
+        if t == "-d" or (t.startswith("-d") and _numarg(t[2:])):
             cfg.full_detail = int(toks[i + 1]) if t == "-d" else int(t[2:])
             i += 2 if t == "-d" else 1
             continue
-        if t == "-D" or (t.startswith("-D") and t[2:].isdigit()):
+        if t == "-D" or (t.startswith("-D") and _numarg(t[2:])):
             cfg.low_detail = int(toks[i + 1]) if t == "-D" else int(t[2:])
             i += 2 if t == "-D" else 1
             continue
-        if t == "-M" or (t.startswith("-M") and t[2:].isdigit()):
+        if t == "-M" or (t.startswith("-M") and _numarg(t[2:])):
             cfg.max_tile_size = int(toks[i + 1]) if t == "-M" else int(t[2:])
             i += 2 if t == "-M" else 1
             continue
-        if t == "-O" or (t.startswith("-O") and t[2:].isdigit()):
+        if t == "-O" or (t.startswith("-O") and _numarg(t[2:])):
             cfg.max_tile_features = int(toks[i + 1]) if t == "-O" else int(t[2:])
             i += 2 if t == "-O" else 1
             continue
-        if t == "-K" or (t.startswith("-K") and t[2:].isdigit()):
+        if t == "-K" or (t.startswith("-K") and _numarg(t[2:])):
             cfg.cluster_distance = int(toks[i + 1]) if t == "-K" else int(t[2:])
             i += 2 if t == "-K" else 1
             continue
-        if t == "-S" or (t.startswith("-S") and t[2:].replace(".", "").isdigit()):
+        if t == "-S" or (t.startswith("-S") and _numarg(t[2:], dot=True)):
             cfg.simplification = float(toks[i + 1]) if t == "-S" else float(t[2:])
             i += 2 if t == "-S" else 1
             continue
@@ -311,7 +321,7 @@ def options_to_config(options, maxzoom_default: int = 14):
             i += 2
             continue
         if t == "-m" or t == "--minimum-detail" \
-                or (t.startswith("-m") and t[2:].isdigit()):
+                or (t.startswith("-m") and _numarg(t[2:])):
             cfg.min_detail = int(t[2:]) if (t.startswith("-m") and len(t) > 2
                                             and t != "--minimum-detail") \
                 else int(toks[i + 1])
