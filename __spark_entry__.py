@@ -814,12 +814,24 @@ def q_dedup_embedding(spark, sf_dir):
                                                 parquet_row_count, planes_for)
 
     emb = _load(spark, sf_dir, "embeddings")
-    base = emb.selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
-    dups = base.filter("vec_id < 50").selectExpr(
-        "vec_id + 100000 AS vec_id",
-        "transform(embedding, x -> x * CAST(1.25 AS DOUBLE)) AS embedding")
-    aug = base.unionByName(dups)
+    # the augmented corpus (originals + *1.25 copies of vec_id < 50) is
+    # produced by ONE scan with a per-row explode instead of a
+    # self-union: Union over two branches of the same scan trips
+    # Spark's Union constraint rewrite (NoSuchElementException: key not
+    # found: embedding#N) whenever this is the first query planned in a
+    # session — found in r6 while dumping plans.  The row multiset is
+    # identical (dup=0 → cast-to-double original, dup=1 → rescaled
+    # copy), and one scan replaces two.
+    aug = emb.selectExpr(
+        "vec_id AS src_id", "embedding AS e0",
+        "explode(CASE WHEN vec_id < 50 THEN array(0, 1) ELSE array(0) END)"
+        " AS dup",
+    ).selectExpr(
+        "CASE WHEN dup = 1 THEN src_id + 100000 ELSE src_id END AS vec_id",
+        "CASE WHEN dup = 1 THEN transform(e0, x -> CAST(x AS DOUBLE) * "
+        "CAST(1.25 AS DOUBLE)) "
+        "ELSE transform(e0, x -> CAST(x AS DOUBLE)) END AS embedding",
+    )
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet") + 50
     return embedding_near_dup_pairs(aug, threshold=0.99, bands=2,
                                     planes=planes_for(n), n=n)
