@@ -59,6 +59,70 @@ def _quant(col: str) -> str:
     return (f"CAST(floor(CAST({col} AS DOUBLE) * 1000000) AS BIGINT)")
 
 
+def _dot_zip(a: str, b: str) -> str:
+    """Dot product of two BIGINT array columns via zip_with+aggregate.
+
+    Measured note (r6): an unrolled 64-term element_at sum — intended
+    to dodge the interpreted higher-order-function path — was 4x
+    SLOWER here (the giant expression knocks the projection out of
+    whole-stage codegen, and interpreted element_at per term costs far
+    more than one interpreted zip_with loop).  Scoring over
+    PRE-QUANTIZED vectors with zip_with is ~0.1 s per 150k pairs; the
+    expensive part was never the dot but re-quantizing per pair."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "0L, (acc, v) -> acc + v)")
+
+
+_FEAT_SCHEMA = "vec_id long, q array<long>, n2 long, bkt array<long>"
+
+
+def lsh_vec_features(emb, bands: int, planes: int, dim: int = 64,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Per-vector LSH features in ONE vectorized numpy pass (guide §4.2):
+    the 1e6-quantized integer vector ``q``, its squared norm ``n2`` and
+    the per-band sign-random-projection bucket ids ``bkt`` (bkt[b] ==
+    band_bucket_expr(b, planes, dim) exactly).
+
+    Bit-identical to the SQL expressions: quantization is
+    floor(float64(x) * 1e6) in IEEE double, the hyperplane weights are
+    the same deterministic integers, and every multiply/add is wrapping
+    int64 (numpy matmul == SQL BIGINT arithmetic; addition order is
+    irrelevant mod 2^64).  Replaces bands*planes interpreted
+    aggregate() lambdas per row — the dominant cost of the ANN queries
+    in BENCH_r05 — with one int64 matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_planes = bands * planes
+    seeds = (np.arange(n_planes * dim, dtype=np.int64) * _XMUL) % _W \
+        - (1 << 31)
+    wt = np.ascontiguousarray(seeds.reshape(n_planes, dim).T)
+    pw = np.int64(1) << np.arange(planes, dtype=np.int64)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(vecs * 1e6).astype(np.int64)
+            with np.errstate(over="ignore"):
+                proj = q @ wt
+                n2 = (q * q).sum(axis=1)
+            bkt = ((proj >= 0).reshape(len(q), bands, planes)
+                   * pw).sum(axis=2, dtype=np.int64)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q": list(q),
+                "n2": n2,
+                "bkt": list(bkt),
+            })
+
+    return (emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(emb_col).alias("embedding"))
+            .mapInPandas(fn, schema=_FEAT_SCHEMA))
+
+
 def band_bucket_expr(band: int, planes: int, dim: int,
                      col: str = "embedding", duck: bool = False) -> str:
     """SQL for one band's bucket id (unrolled per plane; identical
@@ -101,22 +165,13 @@ def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
         # a single Spark job.  count() is the documented last resort.
         planes = planes_for(n if n is not None else emb.count())
 
-    bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
-    # quantized vector + squared norm computed ONCE PER VECTOR before
-    # the join — the pair scorer then only does the dot product.  At
-    # occupancy ~64 each vector appears in ~B*64 pairs, so per-pair
-    # re-quantization would multiply the lambda-eval work ~3x.
-    withb = emb.selectExpr(
-        "vec_id",
-        f"transform(embedding, x -> {_quant('x')}) AS q",
-        *bexprs).selectExpr(
-        "vec_id", "q",
-        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) AS n2",
-        *[f"b{b}" for b in range(bands)])
+    # quantized vector, squared norm and all band buckets in ONE
+    # vectorized numpy pass per vector (lsh_vec_features) — the pair
+    # scorer then only does the dot product
+    withb = lsh_vec_features(emb, bands, planes, dim)
     exploded = withb.select(
         "vec_id", "q", "n2",
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
-        .alias("band", "bucket"))
+        F.posexplode(F.col("bkt")).alias("band", "bucket"))
     qv = exploded.filter(query_pred).selectExpr(
         "vec_id AS qid", "q AS qa", "n2 AS na", "band", "bucket")
     cv = exploded.filter(f"NOT ({query_pred})").selectExpr(
@@ -124,13 +179,40 @@ def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
     cand = (qv.join(cv, ["band", "bucket"])
               .dropDuplicates(["qid", "cid"]))
 
-    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
-           "0L, (acc, v) -> acc + v)")
+    dot = _dot_zip("qa", "qb")
     scored = cand.selectExpr(
         "qid", "cid", f"round(({dot}) / (sqrt(na) * sqrt(nb)), 6) AS sim")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(f"rk <= {k}").select("qid", "rk", "cid", "sim"))
+
+
+def quant_features(emb, dim: int = 64, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """(vec_id, q, n2) in one vectorized numpy pass — the bucket-free
+    slice of lsh_vec_features, for operators that only need the
+    quantized vector and its squared norm (IVF, brute cosine)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(vecs * 1e6).astype(np.int64)
+            with np.errstate(over="ignore"):
+                n2 = (q * q).sum(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q": list(q),
+                "n2": n2,
+            })
+
+    return (emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(emb_col).alias("embedding"))
+            .mapInPandas(fn, schema="vec_id long, q array<long>, n2 long"))
 
 
 def ann_lsh_candidate_stats(emb, bands: int = 4, planes: int | None = None,
@@ -180,36 +262,28 @@ def embedding_near_dup_pairs(emb, threshold: float = 0.99, bands: int = 2,
     every band — recall 1.0 for the exact-duplicate and rescaled-
     duplicate classes, compounding 1-(1-r^P)^B for merely-similar
     pairs.  Scale shape: candidates per vector ~ B * occupancy
-    (planes_for grows P with the corpus), one shuffle for the join, one
-    for the dedup."""
+    (planes_for grows P with the corpus); the candidate self-join and
+    the (keep_id, dup_id) dedup shuffle ONLY ids and bucket keys — the
+    quantized vectors are attached to the surviving distinct pairs by
+    two id equi-joins afterwards (guide §8: decide with small rows,
+    move the heavy payload once)."""
     from pyspark.sql import functions as F
 
     if planes is None:
         planes = planes_for(n if n is not None else emb.count())
-    bexprs = [f"{band_bucket_expr(b, planes, dim)} AS b{b}" for b in range(bands)]
-    # quantize + norm once per vector (see ann_lsh_topk): the pair
-    # scorer below is dot-product-only
-    withb = emb.selectExpr(
-        "vec_id",
-        f"transform(embedding, x -> {_quant('x')}) AS q",
-        *bexprs).selectExpr(
-        "vec_id", "q",
-        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) AS n2",
-        *[f"b{b}" for b in range(bands)])
-    exploded = withb.select(
-        "vec_id", "q", "n2",
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)]))
-        .alias("band", "bucket"))
-    a = exploded.selectExpr("vec_id AS keep_id", "q AS qa", "n2 AS na",
-                            "band", "bucket")
-    b = exploded.selectExpr("vec_id AS dup_id", "q AS qb", "n2 AS nb",
-                            "band", "bucket")
+    feats = lsh_vec_features(emb, bands, planes, dim)
+    slim = feats.select(
+        "vec_id", F.posexplode(F.col("bkt")).alias("band", "bucket"))
+    a = slim.selectExpr("vec_id AS keep_id", "band", "bucket")
+    b = slim.selectExpr("vec_id AS dup_id", "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
              .filter("keep_id < dup_id")
-             .dropDuplicates(["keep_id", "dup_id"]))
-    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
-           "0L, (acc, v) -> acc + v)")
-    return (cand.selectExpr(
+             .dropDuplicates(["keep_id", "dup_id"])
+             .select("keep_id", "dup_id"))
+    va = feats.selectExpr("vec_id AS keep_id", "q AS qa", "n2 AS na")
+    vb = feats.selectExpr("vec_id AS dup_id", "q AS qb", "n2 AS nb")
+    dot = _dot_zip("qa", "qb")
+    return (cand.join(va, "keep_id").join(vb, "dup_id").selectExpr(
         "keep_id", "dup_id",
         f"round(({dot}) / (sqrt(na) * sqrt(nb)), 6) AS sim")
         .filter(f"sim >= {threshold}"))
@@ -293,6 +367,12 @@ def ann_ivf_topk(emb, k: int = 3, n_centroids: int = 8, nprobe: int = 2,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    # q/n2 stay as JVM SQL here (not quant_features): this operator
+    # evaluates `base` three times (centroid build, candidate side,
+    # query side), and three Python/Arrow stage round-trips cost more
+    # than the interpreted per-vector transforms at any corpus size
+    # where K centroids still broadcast (measured r6: 0.61 s vs 0.98 s
+    # at sf0.1)
     base = emb.selectExpr(
         "vec_id",
         f"transform(embedding, x -> {_quant('x')}) AS q",
@@ -303,8 +383,7 @@ def ann_ivf_topk(emb, k: int = 3, n_centroids: int = 8, nprobe: int = 2,
         cent_pred = f"vec_id >= 10 AND vec_id < {10 + n_centroids}"
     cents = base.filter(cent_pred).selectExpr(
         "vec_id AS cent_id", "q AS cq", "n2 AS cn2")
-    dot_c = ("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, "
-             "(acc, v) -> acc + v)")
+    dot_c = _dot_zip("q", "cq")
     csim = f"({dot_c}) / (sqrt(n2) * sqrt(cn2))"
 
     cpairs = (base.filter(f"NOT ({query_pred})")
@@ -324,8 +403,7 @@ def ann_ivf_topk(emb, k: int = 3, n_centroids: int = 8, nprobe: int = 2,
     probes = (qpairs.withColumn("rn", F.row_number().over(wp))
               .filter(f"rn <= {nprobe}").select("qid", "qa", "na", "cent_id"))
 
-    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
-           "(acc, v) -> acc + v)")
+    dot = _dot_zip("qa", "qb")
     hits = probes.join(assign, "cent_id").selectExpr(
         "qid", "cid", f"round(({dot}) / (sqrt(na) * sqrt(nb)), 6) AS sim")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
