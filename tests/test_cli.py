@@ -556,6 +556,12 @@ def test_cli_minzoom_above_maxzoom_fatal():
     import pytest as _pt
     with _pt.raises(ValueError):
         options_to_config("-dx")
+    # atof's dot grammar for attached float optargs: "-r.5" is 0.5 and
+    # "-r5." is 5.0 (a bare leading/trailing dot is valid to getopt+atof)
+    assert options_to_config("-r.5 -z5").droprate == 0.5
+    assert options_to_config("-r5. -z5").droprate == 5.0
+    with _pt.raises(ValueError):
+        options_to_config("-r. -z5")
 
 
 @requires_reference

@@ -256,3 +256,29 @@ def test_jsontool_spark_cursor_skip_semantics(tmp_path):
     src, sout = _ours(["--spark-master", "local[2]", "-c", str(csvf),
                        str(js)])
     assert (src, sout) == (rrc, rout)
+
+
+@requires_jsontool
+def test_jsontool_long_options_parity(tmp_path):
+    """--prevent (long -p), the '--' end-of-options marker, and unknown
+    long options must behave like getopt_long (jsontool.cpp:406):
+    '--prevent e' is accepted, '--' ends option scanning, and an
+    unknown '--foo' is an error — never treated as an input file."""
+    js = tmp_path / "f.json"
+    js.write_text(
+        '{"type":"Feature","properties":{},'
+        '"geometry":{"type":"Point","coordinates":[0,0]}}\n')
+    for args in (["--prevent", "e", str(js)],
+                 ["--prevent=e", str(js)],
+                 ["--", str(js)]):
+        rrc, rout = _ref(args)
+        orc, oout = _ours(args)
+        assert (orc, oout) == (rrc, rout), args
+    # unknown long option / bad --prevent value: both error (rc 1, no
+    # output), matching the reference's exit
+    for args in (["--bogus", str(js)],
+                 ["--prevent", "x", str(js)],
+                 ["--wrap=x", str(js)]):
+        rrc, rout = _ref(args)
+        orc, oout = _ours(args)
+        assert (orc, oout) == (rrc, rout) == (1, b""), args

@@ -446,3 +446,27 @@ def test_metadata_parity(fixture, layer, mz):
     for k in ("version", "minzoom", "maxzoom", "bounds", "center", "type",
               "format", "json"):
         assert meta[k] == refmeta.get(k), f"{k}: {refmeta.get(k)!r} vs {meta[k]!r}"
+
+
+def test_hilbert_codec_warning_free():
+    """The hilbert bit loops intentionally wrap s-1-x mod 2^64 on
+    np.where lanes that are never selected; the wrap must be scoped
+    (np.errstate) so the codec stays clean under -W error and an
+    unscoped overflow warning can't mask a real bug elsewhere
+    (round-trip exactness re-asserted under the strict filter)."""
+    import warnings
+
+    import numpy as np
+
+    from tippecanoe_spark.core.projection import (decode_hilbert,
+                                                  encode_hilbert)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        xs = np.array([0, 123456789, (1 << 32) - 1, 1 << 31, 7],
+                      dtype=np.int64)
+        ys = np.array([(1 << 32) - 1, 7, 0, (1 << 31) - 1, 99],
+                      dtype=np.int64)
+        d = encode_hilbert(xs, ys)
+        rx, ry = decode_hilbert(d)
+        assert (rx == xs).all() and (ry == ys).all()

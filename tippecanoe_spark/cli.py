@@ -37,7 +37,9 @@ def _numarg(v: str, dot: bool = False) -> bool:
     must parse like the separate-token spelling "-d -4"."""
     import re as _re
 
-    pat = r"-?\d+(\.\d+)?" if dot else r"-?\d+"
+    # the dot grammar is atof's: "5", "5.5", "5.", ".5" (a bare
+    # leading/trailing dot is valid — "-r.5" means 0.5)
+    pat = r"-?(\d+\.?\d*|\.\d+)" if dot else r"-?\d+"
     return bool(_re.fullmatch(pat, v))
 
 
@@ -1248,7 +1250,11 @@ def jsontool_main(argv) -> int:
     try:
         while i < len(argv):
             t = argv[i]
-            if t == "--wrap":
+            if t == "--":
+                # getopt end-of-options marker: the rest are inputs
+                inputs.extend(argv[i + 1:])
+                break
+            elif t == "--wrap":
                 wrap = True
             elif t == "--extract":
                 extract = argv[i + 1]
@@ -1262,10 +1268,33 @@ def jsontool_main(argv) -> int:
                 csv_path = t.split("=", 1)[1]
             elif t == "--empty-csv-columns-are-null":
                 pe = True
+            elif t == "--prevent" or t.startswith("--prevent="):
+                # long form of -p (jsontool.cpp:406): only 'e' is known
+                if t == "--prevent":
+                    arg = argv[i + 1]
+                    i += 1
+                else:
+                    arg = t.split("=", 1)[1]
+                if arg != "e":
+                    print(f"json-tool: Unknown option for -p{arg}",
+                          file=sys.stderr)
+                    return 1
+                pe = True
             elif t == "--spark-master":
                 spark_master = argv[i + 1]
                 i += 1
-            elif t.startswith("-") and t != "-" and not t.startswith("--"):
+            elif t.startswith("--"):
+                # getopt_long: unknown long options (and args attached
+                # to no-argument ones) are errors, never input files
+                if t.startswith(("--wrap=", "--empty-csv-columns-are-null=")):
+                    print(f"json-tool: option '{t.split('=', 1)[0]}' "
+                          "doesn't allow an argument", file=sys.stderr)
+                else:
+                    print(f"json-tool: unrecognized option '{t}'",
+                          file=sys.stderr)
+                print("Unexpected option -?", file=sys.stderr)
+                return 1
+            elif t.startswith("-") and t != "-":
                 j = 1
                 while j < len(t):
                     ch = t[j]

@@ -137,20 +137,26 @@ def encode_hilbert(wx, wy) -> np.ndarray:
     d = np.zeros_like(x, dtype=np.uint64)
     s = np.uint64(1 << 31)
     one = np.uint64(1)
-    while s > 0:
-        rx = ((x & s) != 0).astype(np.uint64)
-        ry = ((y & s) != 0).astype(np.uint64)
-        d += s * s * ((np.uint64(3) * rx) ^ ry)
-        # hilbert_rot(s, &x, &y, rx, ry): rotation grid size n == s here
-        swap = ry == 0
-        flip = swap & (rx == 1)
-        nx = np.where(flip, s - one - x, x)
-        ny = np.where(flip, s - one - y, y)
-        # swap x and y where ry == 0
-        tx = np.where(swap, ny, nx)
-        ty = np.where(swap, nx, ny)
-        x, y = tx.astype(np.uint64), ty.astype(np.uint64)
-        s = np.uint64(s >> one)
+    # s - 1 - x deliberately wraps mod 2^64 on the lanes np.where does
+    # NOT select (flip is false exactly where x > s - 1): the wrap is
+    # part of the vectorized evaluation, not a bug — scope errstate so
+    # it cannot mask a real overflow elsewhere (and -W error stays
+    # clean)
+    with np.errstate(over="ignore"):
+        while s > 0:
+            rx = ((x & s) != 0).astype(np.uint64)
+            ry = ((y & s) != 0).astype(np.uint64)
+            d += s * s * ((np.uint64(3) * rx) ^ ry)
+            # hilbert_rot(s, &x, &y, rx, ry): rotation grid size n == s
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            nx = np.where(flip, s - one - x, x)
+            ny = np.where(flip, s - one - y, y)
+            # swap x and y where ry == 0
+            tx = np.where(swap, ny, nx)
+            ty = np.where(swap, nx, ny)
+            x, y = tx.astype(np.uint64), ty.astype(np.uint64)
+            s = np.uint64(s >> one)
     return d
 
 
@@ -161,20 +167,23 @@ def decode_hilbert(index):
     one = np.uint64(1)
     s = np.uint64(1)
     n = np.uint64(1 << 32)
-    while s < n:
-        rx = one & (t >> one)
-        ry = one & (t ^ rx)
-        swap = ry == 0
-        flip = swap & (rx == 1)
-        nx = np.where(flip, s - one - x, x)
-        ny = np.where(flip, s - one - y, y)
-        tx = np.where(swap, ny, nx)
-        ty = np.where(swap, nx, ny)
-        x, y = tx.astype(np.uint64), ty.astype(np.uint64)
-        x += s * rx
-        y += s * ry
-        t = t >> np.uint64(2)
-        s = np.uint64(s << one)
+    # same deliberate mod-2^64 wrap on unselected lanes as
+    # encode_hilbert; see the errstate note there
+    with np.errstate(over="ignore"):
+        while s < n:
+            rx = one & (t >> one)
+            ry = one & (t ^ rx)
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            nx = np.where(flip, s - one - x, x)
+            ny = np.where(flip, s - one - y, y)
+            tx = np.where(swap, ny, nx)
+            ty = np.where(swap, nx, ny)
+            x, y = tx.astype(np.uint64), ty.astype(np.uint64)
+            x += s * rx
+            y += s * ry
+            t = t >> np.uint64(2)
+            s = np.uint64(s << one)
     return x.astype(np.int64), y.astype(np.int64)
 
 

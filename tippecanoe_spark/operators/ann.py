@@ -167,14 +167,19 @@ def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
 
     # quantized vector, squared norm and all band buckets in ONE
     # vectorized numpy pass per vector (lsh_vec_features) — the pair
-    # scorer then only does the dot product
-    withb = lsh_vec_features(emb, bands, planes, dim)
-    exploded = withb.select(
-        "vec_id", "q", "n2",
-        F.posexplode(F.col("bkt")).alias("band", "bucket"))
-    qv = exploded.filter(query_pred).selectExpr(
+    # scorer then only does the dot product.  query_pred is applied to
+    # the INPUT of each featurizer: a filter above mapInPandas cannot
+    # be pushed through the opaque function, so filtering first keeps
+    # each side's Python pass to exactly its own rows (the featurizer
+    # is row-wise, so the rows are identical either way)
+    def side(pred):
+        f = lsh_vec_features(emb.filter(pred), bands, planes, dim)
+        return f.select("vec_id", "q", "n2",
+                        F.posexplode(F.col("bkt")).alias("band", "bucket"))
+
+    qv = side(query_pred).selectExpr(
         "vec_id AS qid", "q AS qa", "n2 AS na", "band", "bucket")
-    cv = exploded.filter(f"NOT ({query_pred})").selectExpr(
+    cv = side(f"NOT ({query_pred})").selectExpr(
         "vec_id AS cid", "q AS qb", "n2 AS nb", "band", "bucket")
     cand = (qv.join(cv, ["band", "bucket"])
               .dropDuplicates(["qid", "cid"]))
@@ -280,8 +285,18 @@ def embedding_near_dup_pairs(emb, threshold: float = 0.99, bands: int = 2,
              .filter("keep_id < dup_id")
              .dropDuplicates(["keep_id", "dup_id"])
              .select("keep_id", "dup_id"))
-    va = feats.selectExpr("vec_id AS keep_id", "q AS qa", "n2 AS na")
-    vb = feats.selectExpr("vec_id AS dup_id", "q AS qb", "n2 AS nb")
+    # the attach sides use the JVM projection (same q/n2 integers as
+    # the numpy featurizer — identical quantization and wrapping int64
+    # arithmetic) so the Python pass runs once, for the buckets, not
+    # three times
+    vecs = emb.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> {_quant('x')}) AS q",
+    ).selectExpr(
+        "vec_id", "q",
+        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) AS n2")
+    va = vecs.selectExpr("vec_id AS keep_id", "q AS qa", "n2 AS na")
+    vb = vecs.selectExpr("vec_id AS dup_id", "q AS qb", "n2 AS nb")
     dot = _dot_zip("qa", "qb")
     return (cand.join(va, "keep_id").join(vb, "dup_id").selectExpr(
         "keep_id", "dup_id",

@@ -1171,18 +1171,31 @@ def fanout_pdf(pdf, z, cfg: TileConfig):
             # idempotent, so geometry columns carry over as-is
             out_frames.append(child)
 
-    # slow path: everything else through the exact row-wise rewrite
+    # slow path: everything else through the exact row-wise rewrite.
+    # Children are assembled as (source positional index, tile coords,
+    # rewritten geometry bytes) and materialized with ONE pdf.iloc take
+    # + column assignment — a per-child dict copy of all 16 columns +
+    # DataFrame.from_records measured ~25% of the whole cascade kernel
+    # (r6 cProfile); the emitted rows and their order are identical.
     slow = ~single
     if slow.any():
-        recs = []
-        cols = list(pdf.columns)
-        sub = pdf.iloc[np.nonzero(slow)[0]]
-        for r in sub.itertuples(index=False):
-            row = dict(zip(cols, r))
-            tx, ty = int(row["tile_x"]), int(row["tile_y"])
-            ops = np.frombuffer(row["ops"], dtype=np.uint8) if isinstance(row["ops"], (bytes, bytearray)) else np.asarray(row["ops"], dtype=np.uint8)
-            xs = np.frombuffer(row["xs"], dtype=np.int64) if isinstance(row["xs"], (bytes, bytearray)) else np.asarray(row["xs"], dtype=np.int64)
-            ys = np.frombuffer(row["ys"], dtype=np.int64) if isinstance(row["ys"], (bytes, bytearray)) else np.asarray(row["ys"], dtype=np.int64)
+        ops_col = pdf["ops"].to_numpy()
+        span = 1 << (nextzoom - z)
+        src_idx = []
+        child_tx = []
+        child_ty = []
+        child_ops = []
+        child_xs = []
+        child_ys = []
+        for k in np.nonzero(slow)[0]:
+            tx = int(tx_arr[k])
+            ty = int(ty_arr[k])
+            o = ops_col[k]
+            ops = np.frombuffer(o, dtype=np.uint8) if isinstance(o, (bytes, bytearray)) else np.asarray(o, dtype=np.uint8)
+            v = xs_col[k]
+            xs = np.frombuffer(v, dtype=np.int64) if isinstance(v, (bytes, bytearray)) else np.asarray(v, dtype=np.int64)
+            v = ys_col[k]
+            ys = np.frombuffer(v, dtype=np.int64) if isinstance(v, (bytes, bytearray)) else np.asarray(v, dtype=np.int64)
             origin_x = tx << (32 - z) if z else 0
             origin_y = ty << (32 - z) if z else 0
             xs = xs - origin_x
@@ -1191,32 +1204,38 @@ def fanout_pdf(pdf, z, cfg: TileConfig):
             if bbox is None:
                 continue
             ops, xs, ys, skip = clip_to_tile(
-                ops, xs, ys, row["t"], z, buffer, bbox,
+                ops, xs, ys, t_arr[k], z, buffer, bbox,
                 no_clipping=cfg.no_clipping, no_duplication=cfg.no_duplication)
             if skip or len(ops) == 0:
                 continue
-            if row["tp_maxzoom"] != -1 and row["tp_maxzoom"] < nextzoom:
+            if tp_max[k] != -1 and tp_max[k] < nextzoom:
                 continue
             xr, yr = children_of(bbox, z, nextzoom, buffer)
-            span = 1 << (nextzoom - z)
             cxs = xs + origin_x
             cys = ys + origin_y
             if gs > 0:
                 C = 4 << 32
                 cxs = (((cxs + C) >> gs) << gs) - C
                 cys = (((cys + C) >> gs) << gs) - C
-            base = dict(row)
-            base["ops"] = ops.tobytes()
-            base["xs"] = cxs.astype(np.int64).tobytes()
-            base["ys"] = cys.astype(np.int64).tobytes()
+            ob = ops.tobytes()
+            xb = cxs.astype(np.int64).tobytes()
+            yb = cys.astype(np.int64).tobytes()
             for xo in xr:
                 for yo in yr:
-                    c = dict(base)
-                    c["tile_x"] = tx * span + xo
-                    c["tile_y"] = ty * span + yo
-                    recs.append(c)
-        if recs:
-            out_frames.append(pd.DataFrame.from_records(recs, columns=pdf.columns))
+                    src_idx.append(k)
+                    child_tx.append(tx * span + xo)
+                    child_ty.append(ty * span + yo)
+                    child_ops.append(ob)
+                    child_xs.append(xb)
+                    child_ys.append(yb)
+        if src_idx:
+            child = pdf.iloc[src_idx].copy()
+            child["tile_x"] = np.asarray(child_tx, dtype=np.int64)
+            child["tile_y"] = np.asarray(child_ty, dtype=np.int64)
+            child["ops"] = child_ops
+            child["xs"] = child_xs
+            child["ys"] = child_ys
+            out_frames.append(child)
 
     if not out_frames:
         return pd.DataFrame(columns=pdf.columns)
