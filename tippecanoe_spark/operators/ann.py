@@ -192,34 +192,6 @@ def ann_lsh_topk(emb, k: int = 3, bands: int = 4, planes: int | None = None,
             .filter(f"rk <= {k}").select("qid", "rk", "cid", "sim"))
 
 
-def quant_features(emb, dim: int = 64, id_col: str = "vec_id",
-                   emb_col: str = "embedding"):
-    """(vec_id, q, n2) in one vectorized numpy pass — the bucket-free
-    slice of lsh_vec_features, for operators that only need the
-    quantized vector and its squared norm (IVF, brute cosine)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    def fn(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(vecs * 1e6).astype(np.int64)
-            with np.errstate(over="ignore"):
-                n2 = (q * q).sum(axis=1)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "q": list(q),
-                "n2": n2,
-            })
-
-    return (emb.select(F.col(id_col).alias("vec_id"),
-                       F.col(emb_col).alias("embedding"))
-            .mapInPandas(fn, schema="vec_id long, q array<long>, n2 long"))
-
-
 def ann_lsh_candidate_stats(emb, bands: int = 4, planes: int | None = None,
                             dim: int = 64, n: int | None = None,
                             query_pred: str = "vec_id < 10") -> dict:
