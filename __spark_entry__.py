@@ -47,6 +47,40 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_load plus a round-robin repartition WHEN the parquet layout
+    cannot feed the session's cores: a parquet row group is the scan's
+    split granularity, so a single-row-group file pins every scan-side
+    projection to ONE task no matter how many byte-range splits Spark
+    plans.  For the shingle/n-gram queries that means ~400k md5 calls
+    single-threaded (measured: dedup_near_verified 2.06 -> 0.97 s at
+    sf0.1 with the spread).  The row-group count is a driver-side
+    footer read (no job, same pattern as ann.parquet_row_count); on
+    production inputs with >= cores/2 row groups this adds NOTHING —
+    no shuffle, plan unchanged.  Results are unaffected either way:
+    every consumer is an aggregation/join whose output is
+    partitioning-independent."""
+    import os
+
+    df = _load(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        import pyarrow.parquet as pq
+
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(p):
+            rgs = sum(
+                pq.ParquetFile(os.path.join(p, f)).metadata.num_row_groups
+                for f in sorted(os.listdir(p)) if f.endswith(".parquet"))
+        else:
+            rgs = pq.ParquetFile(p).metadata.num_row_groups
+    except Exception:
+        return df
+    if rgs < max(par // 2, 2):
+        df = df.repartition(par)
+    return df
+
+
 # interval constants for droprate 2.5, basezoom 10 (exp(log(2.5)*k) like
 # prep_drop_states, main.cpp:998) — emitted as 17-digit literals so both
 # engines parse the identical double
@@ -500,7 +534,7 @@ def q_fingerprint(spark, sf_dir):
 def q_minhash_bands(spark, sf_dir):
     """MinHash over word-bigram shingles: 2 hash bands via min(md5(seed ||
     shingle)); docs sharing a band minhash are near-dup candidates."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents")
     sh = docs.selectExpr(
         "doc_id",
         "split(text, ' ') AS w",
@@ -549,8 +583,10 @@ def q_dedup_near_verified(spark, sf_dir):
     (band-restricted pair generation — no all-pairs) verified with
     exact word-bigram Jaccard.  Survives 100x growth: candidate pairs
     come from an equi-join on (band, minhash), and the verifier only
-    touches those pairs."""
-    docs = _load(spark, sf_dir, "documents")
+    touches those pairs.  r6: _load_spread, so the shingle explode and
+    the 8 min-md5 partial aggregates are not pinned to one scan task
+    by the single-row-group input (2.06 -> 0.97 s measured)."""
+    docs = _load_spread(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
         "doc_id",
         "explode(array_distinct(transform(sequence(0, size(w) - 2), "
@@ -601,8 +637,9 @@ def q_contamination(spark, sf_dir):
     BROADCAST and the training side is a single map-side hash probe;
     there is no train-side self-join.  Gram length is a parameter
     (production uses 8-13); 4 here so the synthetic 20-word vocabulary
-    yields non-trivial overlap."""
-    docs = _load(spark, sf_dir, "documents")
+    yields non-trivial overlap.  r6: _load_spread parallelizes the
+    scan-side n-gram hashing (0.85 -> 0.45 s measured)."""
+    docs = _load_spread(spark, sf_dir, "documents")
     grams = (
         docs.selectExpr("doc_id", "split(text, ' ') AS w")
         .filter("size(w) >= 4")
@@ -724,8 +761,9 @@ def q_ngram_jaccard(spark, sf_dir):
     never all-pairs, never an uncapped inverted-index join whose hot
     shingles explode — and the exact set intersection touches only
     those pairs.  The trigram shingle length distinguishes it from the
-    bigram dedup pipeline; threshold 0.05."""
-    docs = _load(spark, sf_dir, "documents")
+    bigram dedup pipeline; threshold 0.05.  r6: _load_spread (see
+    dedup_near_verified; 1.8 -> 0.9 s measured)."""
+    docs = _load_spread(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
         "doc_id",
         "explode(array_distinct(transform(sequence(0, size(w) - 3), "
