@@ -779,6 +779,24 @@ def _make_stream_pass0(cfg: TileConfig, params: dict):
     return fn
 
 
+def _bucket_index_expr(bounds):
+    """Bucket index for a sorted literal boundary list: the count of
+    boundaries strictly below the key.  A flat sum of codegen'd IF
+    terms — same comparisons in the same order as a fold, so the
+    integer is identical, but it stays inside whole-stage codegen
+    (higher-order `aggregate()` is CodegenFallback and costs one
+    interpreted Expression.eval per boundary per row).  The double
+    cast is monotone in the int64 key, so the bucketing preserves the
+    global (_sort_ix, seq) order across buckets."""
+    from pyspark.sql import functions as F
+
+    if not bounds:
+        return F.lit(0)
+    return F.expr(" + ".join(
+        "IF(CAST(_sort_ix AS DOUBLE) > %s, 1, 0)" % repr(float(b))
+        for b in bounds))
+
+
 def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ranks: int = 5_000_000):
     """Distributed feature_minzoom: global eligible-rank by (ix, seq)
     via quantile-bucketed window + per-bucket offsets (no
@@ -814,15 +832,7 @@ def assign_minzoom_spark(df, cfg: TileConfig, mode: str = "exact", max_exact_ran
     try:
         qs = [i / n_part for i in range(1, n_part)]
         bounds = sorted(set(tmp.stat.approxQuantile("_sort_ix", qs, 0.001)))
-        if bounds:
-            barr = ", ".join(repr(float(b)) for b in bounds)
-            # double cast is monotone in the int64 key, so the bucketing
-            # preserves the global (_sort_ix, seq) order across buckets
-            pid_expr = F.expr(
-                "aggregate(array(" + barr + "), 0, "
-                "(acc, b) -> acc + IF(CAST(_sort_ix AS DOUBLE) > b, 1, 0))")
-        else:
-            pid_expr = F.lit(0)
+        pid_expr = _bucket_index_expr(bounds)
         dfb = tmp.withColumn("_pid", pid_expr)
 
         counts = dfb.filter("_elig").groupBy("_pid").count().collect()
